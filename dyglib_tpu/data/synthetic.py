@@ -38,7 +38,10 @@ def make_synthetic_bipartite(
     user_w = rng.pareto(1.5, num_src) + 1.0
     item_w = rng.pareto(1.2, num_dst) + 1.0
     u = rng.choice(num_src, size=num_edges, p=user_w / user_w.sum())
-    ts = np.sort(rng.uniform(0.0, time_span, size=num_edges))
+    # integer timestamps (with collisions), like every reference dataset —
+    # exactly representable in float32, so device-side strict-before window
+    # semantics are bit-exact vs the float64 host oracle
+    ts = np.sort(rng.integers(0, int(time_span), size=num_edges)).astype(np.float64)
 
     i = np.empty(num_edges, dtype=np.int64)
     last_item: dict[int, int] = {}

@@ -1,0 +1,121 @@
+"""Device-resident temporal adjacency in CSR form.
+
+TPU-native replacement for the reference's Python list-of-arrays adjacency
+(utils/utils.py:73-110, 283-302). The undirected temporal graph is stored as
+three flat arrays (`nbr`, `eid`, `ts`) plus `offsets`, with each node's
+segment sorted by interaction time — the same per-node ordering the
+reference produces by appending every edge to both endpoints' lists in
+chronological order and stable-sorting by time.
+
+For the `time_interval_aware` strategy (CAWN, utils/utils.py:112-128) we
+additionally precompute the reference's per-position sampling logits
+v_i = exp(a*(t_i - t_last)) / cumsum_j<=i exp(a*(t_j - t_last)) (NaN -> -1e10)
+and store the per-segment inclusive cumsum of exp(v_i), so that device-side
+sampling is an inverse-CDF binary search — softmax over the visible window
+slice is exactly what the reference applies at sample time
+(utils/utils.py:180-183).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.containers import EdgeStream
+
+
+class TemporalCSR(NamedTuple):
+    """Time-sorted undirected CSR adjacency (all arrays device-resident).
+
+    Time contract: device times are float32. Every reference dataset uses
+    integer-valued timestamps (seconds/days), exactly representable in
+    float32 up to 2^24, so strictly-before visibility is bit-exact; streams
+    with sub-float32-resolution gaps between interactions would see those
+    near-ties blur at the window boundary.
+    """
+
+    offsets: jnp.ndarray  # (N+1,) int32 — segment boundaries per node id
+    nbr: jnp.ndarray  # (M,) int32 — neighbor node ids
+    eid: jnp.ndarray  # (M,) int32 — edge ids
+    ts: jnp.ndarray  # (M,) float32 — interaction times (sorted per segment)
+    tia_cew: Optional[jnp.ndarray]  # (M,) float32 — cumsum(exp(tia logits)), or None
+
+    @property
+    def num_nodes(self) -> int:
+        return self.offsets.shape[0] - 1
+
+    @property
+    def num_entries(self) -> int:
+        return self.nbr.shape[0]
+
+
+def build_temporal_csr(
+    stream: EdgeStream,
+    num_nodes: int | None = None,
+    time_scaling_factor: float = 0.0,
+    with_tia: bool = False,
+) -> TemporalCSR:
+    """Host-side CSR construction from a chronological edge stream.
+
+    Entry order within each node's segment matches the reference adjacency
+    build (utils/utils.py:96-103): chronological, with ties broken by edge
+    order and the src-side entry of an edge preceding its dst-side entry.
+    """
+    if num_nodes is None:
+        num_nodes = int(max(stream.src.max(), stream.dst.max())) + 1
+
+    e = stream.num_interactions
+    node = np.empty(2 * e, dtype=np.int64)
+    peer = np.empty(2 * e, dtype=np.int64)
+    eid = np.empty(2 * e, dtype=np.int64)
+    ts = np.empty(2 * e, dtype=np.float64)
+    # interleave so per-edge append order (src entry, then dst entry) survives
+    node[0::2], node[1::2] = stream.src, stream.dst
+    peer[0::2], peer[1::2] = stream.dst, stream.src
+    eid[0::2] = eid[1::2] = stream.eid
+    ts[0::2] = ts[1::2] = stream.ts
+
+    order = np.argsort(node, kind="stable")  # keeps chronological order per node
+    node, peer, eid, ts = node[order], peer[order], eid[order], ts[order]
+
+    counts = np.bincount(node, minlength=num_nodes)
+    offsets = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    tia_cew = None
+    if with_tia:
+        tia_cew = _tia_cumulative_weights(offsets, ts, time_scaling_factor)
+
+    return TemporalCSR(
+        offsets=jnp.asarray(offsets, dtype=jnp.int32),
+        nbr=jnp.asarray(peer, dtype=jnp.int32),
+        eid=jnp.asarray(eid, dtype=jnp.int32),
+        ts=jnp.asarray(ts, dtype=jnp.float32),
+        tia_cew=None if tia_cew is None else jnp.asarray(tia_cew, jnp.float32),
+    )
+
+
+def _tia_cumulative_weights(
+    offsets: np.ndarray, ts: np.ndarray, alpha: float
+) -> np.ndarray:
+    """Per-segment cumsum of exp(v_i) with v_i the reference tia logits.
+
+    v_i = exp(a*dt_i) / cumsum_j<=i exp(a*dt_j), dt relative to the node's
+    LAST interaction (utils/utils.py:112-128); 0/0 positions -> -1e10, whose
+    exp underflows to 0 exactly as torch.softmax treats them at sample time.
+    """
+    m = len(ts)
+    cew = np.zeros(m, dtype=np.float64)
+    for n in range(len(offsets) - 1):
+        lo, hi = offsets[n], offsets[n + 1]
+        if hi == lo:
+            continue
+        seg_ts = ts[lo:hi]
+        dt = seg_ts - seg_ts[-1]
+        ew = np.exp(alpha * dt)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = ew / np.cumsum(ew)
+        v[np.isnan(v)] = -1e10
+        cew[lo:hi] = np.cumsum(np.exp(v))
+    return cew.astype(np.float32)

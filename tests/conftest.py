@@ -11,7 +11,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# NOTE: the environment pins JAX_PLATFORMS=axon (TPU tunnel) and the axon
+# site hook re-applies it, so the env var alone is not enough — the config
+# update below is what actually forces CPU for tests.
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

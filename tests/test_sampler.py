@@ -1,0 +1,174 @@
+"""Device neighbor-sampler parity vs the numpy oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dyglib_tpu.graph import (
+    build_temporal_csr,
+    sample_multi_hop,
+    sample_neighbors,
+    window_bounds,
+)
+from tests.oracles import OracleAdjacency
+
+
+@pytest.fixture(scope="module")
+def graph(link_data):
+    stream = link_data.train
+    n = link_data.num_nodes
+    csr = build_temporal_csr(stream, num_nodes=n, time_scaling_factor=1e-5, with_tia=True)
+    oracle = OracleAdjacency(stream.src, stream.dst, stream.eid, stream.ts, n)
+    return stream, csr, oracle
+
+
+def _queries(stream, rng, b=64):
+    idx = rng.integers(0, stream.num_interactions, b)
+    # mix src/dst queries at their interaction times plus some off-times
+    ids = np.where(rng.uniform(size=b) < 0.5, stream.src[idx], stream.dst[idx])
+    ts = stream.ts[idx] + rng.choice([0.0, 1.0, -0.5], size=b)
+    ts = np.maximum(ts, 0.0)
+    return ids, ts
+
+
+def test_window_bounds_match_searchsorted(graph):
+    stream, csr, oracle = graph
+    rng = np.random.default_rng(0)
+    ids, ts = _queries(stream, rng, 128)
+    lo, hi = jax.jit(window_bounds, static_argnums=())(csr, jnp.asarray(ids), jnp.asarray(ts))
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    for r, (n, t) in enumerate(zip(ids, ts)):
+        wn, _, wt = oracle.window(n, np.float32(t))
+        assert hi[r] - lo[r] == len(wn), (r, n, t)
+        if len(wt):
+            flat_ts = np.asarray(csr.ts)
+            assert np.all(flat_ts[lo[r]:hi[r]] < np.float32(t))
+            assert np.allclose(flat_ts[lo[r]:hi[r]], wt.astype(np.float32))
+
+
+def test_recent_exact_parity(graph):
+    stream, csr, oracle = graph
+    rng = np.random.default_rng(1)
+    ids, ts = _queries(stream, rng, 128)
+    for k in (1, 5, 20):
+        blk = sample_neighbors(csr, jnp.asarray(ids), jnp.asarray(ts), k, "recent")
+        on, oe, ot = oracle.recent(ids, ts.astype(np.float32), k)
+        assert np.array_equal(np.asarray(blk.nbr), on)
+        assert np.array_equal(np.asarray(blk.eid), oe)
+        assert np.allclose(np.asarray(blk.ts), ot)
+        assert np.array_equal(np.asarray(blk.mask), on != 0)
+
+
+@pytest.mark.parametrize("strategy", ["uniform", "time_interval_aware"])
+def test_stochastic_strategies_sample_from_window(graph, strategy):
+    stream, csr, oracle = graph
+    rng = np.random.default_rng(2)
+    ids, ts = _queries(stream, rng, 64)
+    k = 10
+    blk = sample_neighbors(
+        csr, jnp.asarray(ids), jnp.asarray(ts), k, strategy, key=jax.random.PRNGKey(0)
+    )
+    nbr, eid, t_s, mask = map(np.asarray, blk)
+    for r, (n, t) in enumerate(zip(ids, ts)):
+        wn, we, wt = oracle.window(n, np.float32(t))
+        if len(wn) == 0:
+            assert not mask[r].any() and (nbr[r] == 0).all()
+            continue
+        assert mask[r].all()
+        valid_pairs = set(zip(wn.tolist(), we.tolist()))
+        assert all((a, b) in valid_pairs for a, b in zip(nbr[r], eid[r]))
+        assert np.all(np.diff(t_s[r]) >= 0)  # re-sorted by time
+
+
+def test_uniform_is_roughly_uniform(graph):
+    stream, csr, _ = graph
+    # pick the highest-degree node late in time: all entries visible
+    offsets = np.asarray(csr.offsets)
+    deg = np.diff(offsets)
+    node = int(np.argmax(deg))
+    t_max = float(np.asarray(csr.ts).max()) + 1.0
+    k, reps = 64, 200
+    counts = np.zeros(deg[node], dtype=np.int64)
+    lo = offsets[node]
+    eids = np.asarray(csr.eid)[lo : lo + deg[node]]
+    eid_to_pos = {e: i for i, e in enumerate(eids)}
+    blk = sample_neighbors(
+        csr,
+        jnp.full((reps,), node),
+        jnp.full((reps,), t_max),
+        k,
+        "uniform",
+        key=jax.random.PRNGKey(3),
+    )
+    for e in np.asarray(blk.eid).ravel():
+        counts[eid_to_pos[e]] += 1
+    # chi-square-ish sanity: all positions hit for a well-sampled node
+    expected = k * reps / deg[node]
+    assert counts.min() > 0.2 * expected
+    assert counts.max() < 5.0 * expected
+
+
+def test_tia_matches_reference_distribution(graph):
+    """Empirical tia frequencies match softmax of the reference logits.
+
+    Reference math (utils/utils.py:112-128, 176-191): logits
+    v_i = exp(a*dt_i)/cumsum_j<=i exp(a*dt_j) (NaN -> -1e10) over the
+    visible window, sampling probabilities = softmax(v).
+    """
+    stream, csr, _ = graph
+    offsets = np.asarray(csr.offsets)
+    deg = np.diff(offsets)
+    node = int(np.argmax(deg))
+    t_max = float(np.asarray(csr.ts).max()) + 1.0
+    lo = offsets[node]
+    seg_ts = np.asarray(csr.ts, dtype=np.float64)[lo : lo + deg[node]]
+
+    dt = seg_ts - seg_ts.max()
+    ew = np.exp(1e-5 * dt)
+    v = ew / np.cumsum(ew)
+    p = np.exp(v - v.max())
+    p /= p.sum()
+
+    reps, k = 1000, 32
+    blk = sample_neighbors(
+        csr,
+        jnp.full((reps,), node),
+        jnp.full((reps,), t_max),
+        k,
+        "time_interval_aware",
+        key=jax.random.PRNGKey(4),
+    )
+    eids = np.asarray(csr.eid)[lo : lo + deg[node]]
+    pos = {e: i for i, e in enumerate(eids)}
+    counts = np.zeros(len(eids))
+    for e in np.asarray(blk.eid).ravel():
+        counts[pos[e]] += 1
+    emp = counts / counts.sum()
+    tv = 0.5 * np.abs(emp - p).sum()
+    assert tv < 0.1, f"total variation {tv:.3f} vs reference tia distribution"
+
+
+def test_multi_hop_shapes_and_causality(graph):
+    stream, csr, _ = graph
+    rng = np.random.default_rng(5)
+    ids, ts = _queries(stream, rng, 16)
+    blocks = sample_multi_hop(
+        csr, jnp.asarray(ids), jnp.asarray(ts), 5, 2, "recent"
+    )
+    assert blocks[0].nbr.shape == (16, 5)
+    assert blocks[1].nbr.shape == (16, 5, 5)
+    # hop-2 times strictly precede their hop-1 anchor times where valid
+    t1 = np.asarray(blocks[0].ts)[..., None]
+    t2 = np.asarray(blocks[1].ts)
+    m2 = np.asarray(blocks[1].mask)
+    assert np.all(t2[m2] < np.broadcast_to(t1, t2.shape)[m2])
+
+
+def test_sampler_jit_and_determinism(graph):
+    stream, csr, _ = graph
+    ids = jnp.asarray(stream.src[:32])
+    ts = jnp.asarray(stream.ts[:32])
+    f = jax.jit(lambda c, i, t, k: sample_neighbors(c, i, t, 7, "uniform", key=k))
+    a = f(csr, ids, ts, jax.random.PRNGKey(9))
+    b = f(csr, ids, ts, jax.random.PRNGKey(9))
+    assert np.array_equal(np.asarray(a.nbr), np.asarray(b.nbr))
