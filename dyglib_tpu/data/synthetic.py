@@ -22,6 +22,7 @@ def make_synthetic_bipartite(
     time_span: float = 1.0e6,
     label_rate: float = 0.02,
     repeat_bias: float = 0.8,
+    node_feat_scale: float = 0.0,
     seed: int = 0,
 ) -> tuple[pd.DataFrame, np.ndarray, np.ndarray]:
     """Generate a processed-format bipartite edge stream.
@@ -68,7 +69,12 @@ def make_synthetic_bipartite(
         }
     )
     edge_feats = np.vstack([np.zeros((1, edge_feat_dim)), edge_feats])
-    node_feats = np.zeros((num_src + num_dst + 1, edge_feat_dim))
+    # real bipartite datasets ship all-zero node features (wikipedia/reddit);
+    # node_feat_scale > 0 opts into informative node features for fast tests
+    node_feats = node_feat_scale * rng.normal(
+        size=(num_src + num_dst + 1, edge_feat_dim)
+    )
+    node_feats[0] = 0.0
     return df, edge_feats, node_feats
 
 

@@ -28,17 +28,19 @@ from ..data.containers import EdgeStream
 class TemporalCSR(NamedTuple):
     """Time-sorted undirected CSR adjacency (all arrays device-resident).
 
-    Time contract: device times are float32. Every reference dataset uses
-    integer-valued timestamps (seconds/days), exactly representable in
-    float32 up to 2^24, so strictly-before visibility is bit-exact; streams
-    with sub-float32-resolution gaps between interactions would see those
-    near-ties blur at the window boundary.
+    Time contract: device times are int32. Every reference dataset uses
+    integer-valued timestamps (seconds or days, up to ~1.6e8 for LastFM —
+    beyond float32's 2^24 exact-integer range), so int32 keys make
+    strictly-before visibility and all time deltas BIT-EXACT on device;
+    float32 appears only after the delta subtraction, mirroring the
+    reference's float64-numpy-then-.float() pipeline (e.g. TGAT.py:116-119).
+    Non-integer streams are ceil-quantized at build with the same contract.
     """
 
     offsets: jnp.ndarray  # (N+1,) int32 — segment boundaries per node id
     nbr: jnp.ndarray  # (M,) int32 — neighbor node ids
     eid: jnp.ndarray  # (M,) int32 — edge ids
-    ts: jnp.ndarray  # (M,) float32 — interaction times (sorted per segment)
+    ts: jnp.ndarray  # (M,) int32 — interaction times (sorted per segment)
     tia_cew: Optional[jnp.ndarray]  # (M,) float32 — cumsum(exp(tia logits)), or None
 
     @property
@@ -91,9 +93,21 @@ def build_temporal_csr(
         offsets=jnp.asarray(offsets, dtype=jnp.int32),
         nbr=jnp.asarray(peer, dtype=jnp.int32),
         eid=jnp.asarray(eid, dtype=jnp.int32),
-        ts=jnp.asarray(ts, dtype=jnp.float32),
+        ts=jnp.asarray(time_keys(ts), dtype=jnp.int32),
         tia_cew=None if tia_cew is None else jnp.asarray(tia_cew, jnp.float32),
     )
+
+
+def time_keys(ts: np.ndarray) -> np.ndarray:
+    """Integer time keys for exact device-side comparisons.
+
+    Integer-valued streams (all reference datasets) map exactly; non-integer
+    times are ceil'd, which preserves strictly-before semantics for integer
+    event times and blurs only sub-unit gaps.
+    """
+    keys = np.ceil(np.asarray(ts, dtype=np.float64))
+    assert keys.size == 0 or keys.max() < 2**31, "timestamps exceed int32 range"
+    return keys.astype(np.int64)
 
 
 def _tia_cumulative_weights(

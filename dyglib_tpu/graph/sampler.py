@@ -6,6 +6,9 @@ batch primitive — a segment binary search (the per-row
 ``np.searchsorted`` of find_neighbors_before, utils/utils.py:141) followed
 by gathers. No Python loops, no host round-trips, no dynamic shapes.
 
+All device times are int32 keys (see TemporalCSR time contract) so window
+comparisons and time sorts are exact for every reference dataset.
+
 Semantics preserved from the reference:
   * neighbor visibility is strictly-before (t' < t);
   * ``recent`` returns the last K interactions RIGHT-ALIGNED with zero
@@ -37,7 +40,7 @@ class NeighborBlock(NamedTuple):
 
     nbr: jnp.ndarray  # (..., K) int32, 0 where padded
     eid: jnp.ndarray  # (..., K) int32, 0 where padded
-    ts: jnp.ndarray  # (..., K) float32, 0 where padded
+    ts: jnp.ndarray  # (..., K) int32 time keys, 0 where padded
     mask: jnp.ndarray  # (..., K) bool, True on real samples
 
 
@@ -57,7 +60,7 @@ def window_bounds(
     node_ids = node_ids.astype(jnp.int32)
     lo = csr.offsets[node_ids]
     seg_hi = csr.offsets[node_ids + 1]
-    t = times.astype(jnp.float32)
+    t = times.astype(jnp.int32)
 
     def body(_, carry):
         lo_, hi_ = carry
@@ -79,7 +82,7 @@ def _gather(csr: TemporalCSR, idx: jnp.ndarray, valid: jnp.ndarray) -> NeighborB
     return NeighborBlock(
         nbr=jnp.where(valid, csr.nbr[safe], 0),
         eid=jnp.where(valid, csr.eid[safe], 0),
-        ts=jnp.where(valid, csr.ts[safe], 0.0),
+        ts=jnp.where(valid, csr.ts[safe], 0),
         mask=valid,
     )
 

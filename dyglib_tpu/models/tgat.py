@@ -1,0 +1,153 @@
+"""TGAT: temporal graph attention network, unrolled for TPU.
+
+Behavioral parity target: models/TGAT.py:9-147. The reference computes an
+L-layer embedding by Python recursion with O(K^L) fan-out, re-sampling
+neighbors inside every recursive call. Here the multi-hop neighborhood is
+sampled ONCE into fixed-shape hop tensors (hop h: (B, K^h)) and the layers
+are evaluated bottom-up:
+
+    feats^0[h]   = raw_node_features[hop_ids[h]]
+    feats^l[h]   = Merge_l(MHA_l(q=feats^{l-1}[h],
+                                 kv=feats^{l-1}[h+1] || edge || Phi(dt)),
+                           raw[hop_ids[h]])
+    output       = feats^L[0]
+
+This is mathematically identical to the recursion for the deterministic
+``recent`` strategy and distribution-equivalent for stochastic strategies
+(the reference re-draws neighbors per recursive branch; see SURVEY §7 "RNG
+parity"). Layer l uses conv/merge parameters shared across hop levels,
+exactly like temporal_conv_layers[l-1] in the recursion (TGAT.py:125, 134).
+
+Semantics preserved: self time feature Phi(0) (TGAT.py:80-82); neighbor
+time features Phi(t_query - t_neighbor) (TGAT.py:114-119); attention mask
+from neighbor id == 0; layer-0 features are raw node features (TGAT.py:86).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..graph.csr import TemporalCSR
+from ..graph.sampler import sample_multi_hop
+from ..nn.modules import MergeLayer, TemporalMultiHeadAttention, TimeEncoder
+from .base import FeatureTables
+
+
+class TGATInputs(NamedTuple):
+    """Precomputed hop tensors; level h arrays have shape (B, K**h)."""
+
+    hop_ids: tuple  # h = 0..L: node ids (level 0 = query nodes)
+    hop_eids: tuple  # h = 1..L: edge ids into the feature table
+    hop_ts: tuple  # h = 0..L: int32 time keys (level 0 = query times)
+    hop_mask: tuple  # h = 1..L: validity masks
+
+
+class TGATNet(nn.Module):
+    """The differentiable part of TGAT (see module docstring)."""
+
+    time_feat_dim: int = 100
+    num_layers: int = 2
+    num_heads: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, tables: FeatureTables, inputs: TGATInputs, *, train: bool = False
+    ) -> jnp.ndarray:
+        L = self.num_layers
+        time_enc = TimeEncoder(self.time_feat_dim, name="time_encoder")
+        convs = [
+            TemporalMultiHeadAttention(
+                self.num_heads, self.dropout, name=f"temporal_conv_{l}"
+            )
+            for l in range(L)
+        ]
+        merges = [
+            MergeLayer(tables.node_dim, tables.node_dim, name=f"merge_{l}")
+            for l in range(L)
+        ]
+
+        b = inputs.hop_ids[0].shape[0]
+        # flat node ids / times per hop level; level h has m_h = b * K^h rows
+        flat_ids = [ids.reshape(-1) for ids in inputs.hop_ids]
+        flat_ts = [ts.reshape(-1) for ts in inputs.hop_ts]
+        feats = [tables.node[ids] for ids in flat_ids]
+
+        for l in range(1, L + 1):
+            new_feats = []
+            for h in range(0, L - l + 1):
+                m = flat_ids[h].shape[0]
+                kk = flat_ids[h + 1].shape[0] // m
+                q_feat = feats[h]  # (m, Dn)
+                kv_feat = feats[h + 1].reshape(m, kk, -1)
+                nbr_ts = flat_ts[h + 1].reshape(m, kk)
+                # exact integer delta, then float32 — matches the reference's
+                # float64-numpy subtraction cast to float32 (TGAT.py:116-119)
+                dt = (flat_ts[h][:, None] - nbr_ts).astype(jnp.float32)
+                phi_dt = time_enc(dt)  # (m, kk, Dt)
+                phi_0 = time_enc(jnp.zeros((m, 1), dtype=jnp.float32))[:, 0, :]
+                edge_feat = tables.edge[inputs.hop_eids[h].reshape(m, kk)]
+                mask = inputs.hop_mask[h].reshape(m, kk)
+                out, _ = convs[l - 1](
+                    q_feat, phi_0, kv_feat, phi_dt, edge_feat, mask, train=train
+                )
+                out = merges[l - 1](out, tables.node[flat_ids[h]])
+                new_feats.append(out)
+            feats = new_feats
+        return feats[0].reshape(b, -1)
+
+
+@dataclasses.dataclass
+class TGAT:
+    """Backbone adapter: sampling + apply for TGATNet."""
+
+    num_neighbors: int = 20
+    num_layers: int = 2
+    num_heads: int = 2
+    dropout: float = 0.1
+    time_feat_dim: int = 100
+    sample_strategy: str = "recent"
+    has_state: bool = False
+
+    def __post_init__(self):
+        self.module = TGATNet(
+            time_feat_dim=self.time_feat_dim,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            dropout=self.dropout,
+        )
+
+    def sample(
+        self, csr: TemporalCSR, ids: jnp.ndarray, ts: jnp.ndarray, key: jax.Array
+    ) -> TGATInputs:
+        blocks = sample_multi_hop(
+            csr, ids, ts, self.num_neighbors, self.num_layers,
+            self.sample_strategy, key,
+        )
+        b = ids.shape[0]
+        return TGATInputs(
+            hop_ids=(ids.astype(jnp.int32),)
+            + tuple(blk.nbr.reshape(b, -1) for blk in blocks),
+            hop_eids=tuple(blk.eid.reshape(b, -1) for blk in blocks),
+            hop_ts=(ts.astype(jnp.int32),)
+            + tuple(blk.ts.reshape(b, -1) for blk in blocks),
+            hop_mask=tuple(blk.mask.reshape(b, -1) for blk in blocks),
+        )
+
+    def init(self, key: jax.Array, tables: FeatureTables, csr: TemporalCSR):
+        ids = jnp.zeros((2,), jnp.int32)
+        ts = jnp.zeros((2,), jnp.int32)
+        inputs = self.sample(csr, ids, ts, jax.random.PRNGKey(0))
+        return self.module.init(key, tables, inputs)
+
+    def init_state(self, tables: FeatureTables):
+        return None
+
+    def apply(
+        self, params, tables, inputs, *, state=None, train=False, rngs=None
+    ) -> jnp.ndarray:
+        return self.module.apply(params, tables, inputs, train=train, rngs=rngs)

@@ -1,0 +1,206 @@
+"""Shared neural modules (flax.linen).
+
+Behavioral parity targets in the reference's models/modules.py:
+  * TimeEncoder (modules.py:7-39) — cos(W t + b), W initialized to the fixed
+    spectrum 1/10^linspace(0,9,d), b = 0; optionally frozen (GraphMixer).
+  * MergeLayer (modules.py:42-68) — concat -> Linear -> ReLU -> Linear.
+  * MLPClassifier (modules.py:71-96) — input -> 80 -> 10 -> 1 with
+    ReLU + dropout.
+  * MultiHeadAttention (modules.py:99-206) — single-query temporal
+    attention: q = [node_feat || Phi(0)], k = v =
+    [nbr_feat || edge_feat || Phi(dt)], pad logits filled with -1e10 (NOT
+    -inf, so all-padded rows survive softmax), residual_fc + dropout +
+    LayerNorm(out + residual).
+  * TransformerEncoder (modules.py:209-266) — POST-LN residual blocks with a
+    4x ReLU FFN and key-padding masking; supports cross-attention (used by
+    TCL and CAWN). DyGFormer's local pre-LN encoder is a separate module in
+    models/dygformer.py, mirroring the reference's two distinct variants.
+
+All LayerNorms use eps=1e-5 (torch default) for oracle parity.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LN_EPS = 1e-5  # torch nn.LayerNorm default
+
+
+def time_encoder_spectrum(time_dim: int) -> np.ndarray:
+    """The fixed 1/10^linspace(0,9,d) frequency init (modules.py:20)."""
+    return (1.0 / 10 ** np.linspace(0, 9, time_dim, dtype=np.float32)).reshape(
+        1, time_dim
+    )
+
+
+class TimeEncoder(nn.Module):
+    """Cosine time features phi(t) = cos(w*t + b) (modules.py:7-39)."""
+
+    time_dim: int
+    trainable: bool = True
+
+    @nn.compact
+    def __call__(self, timestamps: jnp.ndarray) -> jnp.ndarray:
+        """(...,) times -> (..., time_dim) features."""
+        w = self.param(
+            "w", lambda key: jnp.asarray(time_encoder_spectrum(self.time_dim))
+        )
+        b = self.param("b", nn.initializers.zeros, (self.time_dim,))
+        if not self.trainable:
+            # frozen spectrum (GraphMixer passes parameter_requires_grad=False,
+            # reference GraphMixer.py:45): zero the gradient, keep the param
+            w = jax.lax.stop_gradient(w)
+            b = jax.lax.stop_gradient(b)
+        return jnp.cos(timestamps[..., None] * w[0] + b)
+
+
+class MergeLayer(nn.Module):
+    """concat(x1, x2) -> hidden -> output with ReLU (modules.py:42-68)."""
+
+    hidden_dim: int
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, input_1: jnp.ndarray, input_2: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.concatenate([input_1, input_2], axis=-1)
+        h = nn.Dense(self.hidden_dim, name="fc1")(x)
+        return nn.Dense(self.output_dim, name="fc2")(nn.relu(h))
+
+
+class MLPClassifier(nn.Module):
+    """input -> 80 -> 10 -> 1 head for node classification (modules.py:71-96)."""
+
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        x = nn.Dropout(self.dropout, deterministic=not train)(
+            nn.relu(nn.Dense(80, name="fc1")(x))
+        )
+        x = nn.Dropout(self.dropout, deterministic=not train)(
+            nn.relu(nn.Dense(10, name="fc2")(x))
+        )
+        return nn.Dense(1, name="fc3")(x)
+
+
+class TemporalMultiHeadAttention(nn.Module):
+    """Single-query temporal attention over K sampled neighbors
+    (modules.py:99-206).
+
+    query  = [node_feat || node_time_feat]            (1 token)
+    key=val= [nbr_feat || edge_feat || nbr_time_feat] (K tokens)
+    Padded neighbors get logit -1e10 so fully-padded rows still produce a
+    finite (uniform-attention) output instead of NaN (modules.py:182-184).
+    """
+
+    num_heads: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        node_features: jnp.ndarray,  # (B, Dn)
+        node_time_features: jnp.ndarray,  # (B, Dt)
+        neighbor_node_features: jnp.ndarray,  # (B, K, Dn)
+        neighbor_time_features: jnp.ndarray,  # (B, K, Dt)
+        neighbor_edge_features: jnp.ndarray,  # (B, K, De)
+        neighbor_mask: jnp.ndarray,  # (B, K) bool, True = real neighbor
+        *,
+        train: bool = False,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        query_dim = node_features.shape[-1] + node_time_features.shape[-1]
+        assert query_dim % self.num_heads == 0
+        head_dim = query_dim // self.num_heads
+        b, k = neighbor_node_features.shape[:2]
+
+        query = residual = jnp.concatenate(
+            [node_features, node_time_features], axis=-1
+        )  # (B, Dq)
+        kv = jnp.concatenate(
+            [neighbor_node_features, neighbor_edge_features, neighbor_time_features],
+            axis=-1,
+        )  # (B, K, Dk)
+
+        q = nn.Dense(query_dim, use_bias=False, name="query_projection")(query)
+        key = nn.Dense(query_dim, use_bias=False, name="key_projection")(kv)
+        val = nn.Dense(query_dim, use_bias=False, name="value_projection")(kv)
+
+        q = q.reshape(b, self.num_heads, 1, head_dim)
+        key = key.reshape(b, k, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        val = val.reshape(b, k, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhld,bhnd->bhln", q, key) * (head_dim**-0.5)
+        attn = jnp.where(neighbor_mask[:, None, None, :], attn, -1e10)
+        scores = nn.softmax(attn, axis=-1)
+        scores = nn.Dropout(self.dropout, deterministic=not train)(scores)
+
+        out = jnp.einsum("bhln,bhnd->bhld", scores, val)  # (B, H, 1, hd)
+        out = out.transpose(0, 2, 1, 3).reshape(b, query_dim)
+        out = nn.Dropout(self.dropout, deterministic=not train)(
+            nn.Dense(query_dim, name="residual_fc")(out)
+        )
+        out = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(out + residual)
+        return out, scores[:, :, 0, :]  # (B, Dq), (B, H, K)
+
+
+class TransformerEncoder(nn.Module):
+    """Post-LN transformer block with optional cross-attention
+    (modules.py:209-266; torch nn.MultiheadAttention semantics).
+
+    Padded key positions are masked with a large negative logit rather than
+    -inf so that an all-padded key row yields finite (uniform) attention —
+    callers in the reference always include the non-padded target token, so
+    the two conventions never diverge on real inputs.
+    """
+
+    attention_dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs_query: jnp.ndarray,  # (B, Tq, D)
+        inputs_key: jnp.ndarray | None = None,  # (B, Tk, D)
+        inputs_value: jnp.ndarray | None = None,
+        neighbor_mask: jnp.ndarray | None = None,  # (B, Tk) bool, True = keep
+        *,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        if inputs_key is None or inputs_value is None:
+            assert inputs_key is None and inputs_value is None
+            inputs_key = inputs_value = inputs_query
+        d = self.attention_dim
+        assert d % self.num_heads == 0
+        hd = d // self.num_heads
+        b, tq, _ = inputs_query.shape
+        tk = inputs_key.shape[1]
+
+        q = nn.Dense(d, name="q_proj")(inputs_query)
+        key = nn.Dense(d, name="k_proj")(inputs_key)
+        val = nn.Dense(d, name="v_proj")(inputs_value)
+        q = q.reshape(b, tq, self.num_heads, hd).transpose(0, 2, 1, 3)
+        key = key.reshape(b, tk, self.num_heads, hd).transpose(0, 2, 1, 3)
+        val = val.reshape(b, tk, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, key) / jnp.sqrt(hd).astype(q.dtype)
+        if neighbor_mask is not None:
+            attn = jnp.where(neighbor_mask[:, None, None, :], attn, -1e10)
+        scores = nn.softmax(attn, axis=-1)
+        scores = nn.Dropout(self.dropout, deterministic=not train)(scores)
+        hidden = jnp.einsum("bhqk,bhkd->bhqd", scores, val)
+        hidden = hidden.transpose(0, 2, 1, 3).reshape(b, tq, d)
+        hidden = nn.Dense(d, name="out_proj")(hidden)
+
+        # post-LN residual blocks (modules.py:260-264)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(
+            inputs_query + nn.Dropout(self.dropout, deterministic=not train)(hidden)
+        )
+        ffn = nn.Dense(4 * d, name="ffn1")(x)
+        ffn = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(ffn))
+        ffn = nn.Dense(d, name="ffn2")(ffn)
+        return nn.LayerNorm(epsilon=LN_EPS, name="norm2")(
+            x + nn.Dropout(self.dropout, deterministic=not train)(ffn)
+        )

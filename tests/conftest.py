@@ -37,7 +37,8 @@ def synthetic_dataset(tmp_path_factory):
 
     root = tmp_path_factory.mktemp("processed_data")
     write_synthetic_dataset(
-        str(root), "synthetic", num_src=120, num_dst=60, num_edges=2000, seed=7
+        str(root), "synthetic", num_src=120, num_dst=60, num_edges=2000,
+        node_feat_scale=1.0, seed=7,
     )
     return str(root)
 
