@@ -28,9 +28,14 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class FeatureTables:
-    """Raw feature tables, device-resident (row 0 = padding sentinel)."""
+    """Raw feature tables, device-resident (row 0 = padding sentinel).
+
+    Registered as a pytree so tables can be passed through jit boundaries
+    and sharded explicitly (feature-column sharding over the model axis).
+    """
 
     node: jnp.ndarray  # (N, 172) float32
     edge: jnp.ndarray  # (E+1, 172) float32
