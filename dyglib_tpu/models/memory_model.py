@@ -1,0 +1,445 @@
+"""Memory models: TGN, DyRep, JODIE over one functional framework.
+
+Behavioral parity target: models/MemoryModel.py:10-698.
+
+State design (TPU-native): the reference's MemoryBank (nn.Parameter memory +
+python dict of raw-message lists, MemoryModel.py:304-422) becomes a
+functional pytree with ONE message slot per node — valid because message
+aggregation keeps only the LAST message per node (MemoryModel.py:287-291),
+and stores only ever append messages for nodes whose slots were just
+consumed and cleared (MemoryModel.py:142-161). Slot writes use
+deterministic last-occurrence masks (position segment-max) instead of
+nondeterministic duplicate scatters. A dump row at index N absorbs writes
+from padded batch rows.
+
+Semantics preserved:
+  * lazy ALL-nodes memory view per batch (get_updated_memories over
+    np.array(range(num_nodes)), MemoryModel.py:108) — here a dense
+    where(msg_valid, Cell(msg, mem), mem), which equals the reference's
+    sparse update result (only nodes with messages change,
+    MemoryModel.py:472-481) as one MXU-friendly batched cell;
+  * message = [own_mem || partner_mem || Phi(t - last_update_own) ||
+    edge_feat] (MemoryModel.py:53-54, 212-251), computed from the COMMITTED
+    memory (update_memories runs before compute_new_node_raw_messages,
+    MemoryModel.py:142-148);
+  * DyRep: messages embed the partner's EMBEDDING not its memory
+    (MemoryModel.py:226-229); returned embeddings are the updated memories
+    (MemoryModel.py:163-166);
+  * JODIE: TimeProjectionEmbedding mem*(1 + Linear(dt_norm)) with train-set
+    time-shift normalization (MemoryModel.py:111-124, 519-545, 667-698);
+  * TGN/DyRep: GraphAttentionEmbedding = TGAT-style unrolled attention with
+    layer-0 features = memory + raw, merged against memory + raw
+    (MemoryModel.py:588-664, esp. 609 and 662);
+  * updater: TGN -> GRUCell, DyRep/JODIE -> RNNCell (MemoryModel.py:63-66,
+    490-515);
+  * positives and negatives share the same pre-commit memory view
+    (negatives first in the reference, train_link_prediction.py:186-207 —
+    equivalent to one batched forward);
+  * state returned from the jitted step is detached by construction =
+    truncated BPTT at batch boundaries (detach_memory_bank, train:261-263).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import TemporalCSR
+from ..graph.sampler import sample_multi_hop
+from ..nn.modules import MergeLayer, TemporalMultiHeadAttention, TimeEncoder
+from .base import FeatureTables
+
+
+class MemoryState(NamedTuple):
+    """Functional memory-bank state; arrays have N+1 rows (row N = dump)."""
+
+    memory: jnp.ndarray  # (N+1, D) float32
+    last_update: jnp.ndarray  # (N+1,) int32 time keys
+    msg: jnp.ndarray  # (N+1, message_dim) float32 — keep-last slot
+    msg_time: jnp.ndarray  # (N+1,) int32
+    msg_valid: jnp.ndarray  # (N+1,) bool
+
+
+class MemoryModelInputs(NamedTuple):
+    ids4: jnp.ndarray  # (4B,) [src || dst || neg_src || neg_dst]
+    ts4: jnp.ndarray  # (4B,) int32
+    hop_ids: tuple  # TGN/DyRep: hop tensors over ids4 (level 0 = ids4)
+    hop_eids: tuple
+    hop_ts: tuple
+    hop_mask: tuple
+
+
+class TimeShiftStats(NamedTuple):
+    src_mean: float = 0.0
+    src_std: float = 1.0
+    dst_mean: float = 0.0
+    dst_std: float = 1.0
+
+
+def compute_src_dst_node_time_shifts(
+    src: np.ndarray, dst: np.ndarray, ts: np.ndarray
+) -> TimeShiftStats:
+    """Mean/std of per-role inter-event gaps (MemoryModel.py:667-698);
+    first occurrence measured against time 0."""
+    shifts = []
+    for ids in (src, dst):
+        last = np.zeros(int(max(src.max(), dst.max())) + 1)
+        s = np.empty(len(ids))
+        for k in range(len(ids)):
+            s[k] = ts[k] - last[ids[k]]
+            last[ids[k]] = ts[k]
+        shifts.append(s)
+    return TimeShiftStats(
+        float(np.mean(shifts[0])), float(np.std(shifts[0])),
+        float(np.mean(shifts[1])), float(np.std(shifts[1])),
+    )
+
+
+class MemoryModelNet(nn.Module):
+    """Parameters + differentiable compute for one memory-model step."""
+
+    model_name: str  # 'TGN' | 'DyRep' | 'JODIE'
+    memory_dim: int = 172  # = node_feat_dim (MemoryModel.py:52)
+    time_feat_dim: int = 100
+    num_layers: int = 1
+    num_heads: int = 2
+    dropout: float = 0.1
+    time_shifts: TimeShiftStats = TimeShiftStats()
+
+    def setup(self):
+        self.time_encoder = TimeEncoder(self.time_feat_dim, name="time_encoder")
+        if self.model_name == "TGN":
+            self.memory_cell = nn.GRUCell(features=self.memory_dim, name="memory_cell")
+        elif self.model_name in ("DyRep", "JODIE"):
+            self.memory_cell = nn.SimpleCell(
+                features=self.memory_dim, name="memory_cell"
+            )
+        else:
+            raise ValueError(f"unknown memory model {self.model_name!r}")
+        if self.model_name == "JODIE":
+            self.time_projection = nn.Dense(self.memory_dim, name="time_projection")
+            self.embed_dropout = nn.Dropout(self.dropout)
+        else:
+            self.convs = [
+                TemporalMultiHeadAttention(
+                    self.num_heads, self.dropout, name=f"temporal_conv_{l}"
+                )
+                for l in range(self.num_layers)
+            ]
+            self.merges = [
+                MergeLayer(self.memory_dim, self.memory_dim, name=f"merge_{l}")
+                for l in range(self.num_layers)
+            ]
+
+    def apply_cell(self, msg: jnp.ndarray, mem: jnp.ndarray) -> jnp.ndarray:
+        new_mem, _ = self.memory_cell(mem, msg)
+        return new_mem
+
+    def memory_view(self, state: MemoryState) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Lazily-updated (memory, last_update) over ALL nodes
+        (get_updated_memories, MemoryModel.py:170-191, 461-487)."""
+        upd = self.apply_cell(state.msg, state.memory)
+        memory = jnp.where(state.msg_valid[:, None], upd, state.memory)
+        last_update = jnp.where(state.msg_valid, state.msg_time, state.last_update)
+        return memory, last_update
+
+    def embed(
+        self,
+        tables: FeatureTables,
+        state: MemoryState,
+        inputs: MemoryModelInputs,
+        *,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """Embeddings for ids4 from the lazy memory view -> (4B, D)."""
+        memory, last_update = self.memory_view(state)
+
+        if self.model_name == "JODIE":
+            b = inputs.ids4.shape[0] // 4
+            dt = (
+                inputs.ts4.astype(jnp.float32)
+                - last_update[inputs.ids4].astype(jnp.float32)
+            )
+            # [src || dst || neg_src || neg_dst] -> per-role normalization
+            # (MemoryModel.py:114-118)
+            mean = jnp.tile(
+                jnp.repeat(
+                    jnp.asarray(
+                        [self.time_shifts.src_mean, self.time_shifts.dst_mean],
+                        jnp.float32,
+                    ),
+                    b,
+                ),
+                2,
+            )
+            std = jnp.tile(
+                jnp.repeat(
+                    jnp.asarray(
+                        [self.time_shifts.src_std, self.time_shifts.dst_std],
+                        jnp.float32,
+                    ),
+                    b,
+                ),
+                2,
+            )
+            dt = (dt - mean) / std
+            proj = self.time_projection(dt[:, None])
+            emb = memory[inputs.ids4] * (1.0 + proj)
+            return self.embed_dropout(emb, deterministic=not train)
+
+        # TGN / DyRep: unrolled graph attention, layer-0 = memory + raw
+        L = self.num_layers
+        flat_ids = [ids.reshape(-1) for ids in inputs.hop_ids]
+        flat_ts = [ts.reshape(-1) for ts in inputs.hop_ts]
+        base = [memory[ids] + tables.node[ids] for ids in flat_ids]
+        feats = list(base)
+        for l in range(1, L + 1):
+            new_feats = []
+            for h in range(0, L - l + 1):
+                m = flat_ids[h].shape[0]
+                kk = flat_ids[h + 1].shape[0] // m
+                dt = (flat_ts[h][:, None] - flat_ts[h + 1].reshape(m, kk)).astype(
+                    jnp.float32
+                )
+                phi_dt = self.time_encoder(dt)
+                phi_0 = self.time_encoder(jnp.zeros((m, 1), jnp.float32))[:, 0, :]
+                edge_feat = tables.edge[inputs.hop_eids[h].reshape(m, kk)]
+                mask = inputs.hop_mask[h].reshape(m, kk)
+                out, _ = self.convs[l - 1](
+                    feats[h], phi_0, feats[h + 1].reshape(m, kk, -1),
+                    phi_dt, edge_feat, mask, train=train,
+                )
+                out = self.merges[l - 1](out, base[h])
+                new_feats.append(out)
+            feats = new_feats
+        return feats[0].reshape(inputs.ids4.shape[0], -1)
+
+    def new_messages(
+        self,
+        tables: FeatureTables,
+        memory: jnp.ndarray,
+        last_update: jnp.ndarray,
+        own_ids: jnp.ndarray,
+        partner_ids: jnp.ndarray,
+        partner_emb: jnp.ndarray,
+        ts: jnp.ndarray,
+        eids: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Raw messages for own_ids from the COMMITTED memory
+        (MemoryModel.py:212-251)."""
+        own_mem = memory[own_ids]
+        partner_mem = (
+            partner_emb if self.model_name == "DyRep" else memory[partner_ids]
+        )
+        dt = ts.astype(jnp.float32) - last_update[own_ids].astype(jnp.float32)
+        phi = self.time_encoder(dt[:, None])[:, 0, :]
+        edge_feat = tables.edge[eids]
+        return jnp.concatenate([own_mem, partner_mem, phi, edge_feat], axis=-1)
+
+    def __call__(self, tables, state, inputs, *, train: bool = False):
+        """Init entry point — touches every parameterized path."""
+        embs = self.embed(tables, state, inputs, train=train)
+        b4 = inputs.ids4.shape[0]
+        b = b4 // 4
+        _ = self.new_messages(
+            tables, state.memory, state.last_update,
+            inputs.ids4[:b], inputs.ids4[b : 2 * b], embs[b : 2 * b],
+            inputs.ts4[:b], jnp.zeros((b,), jnp.int32),
+        )
+        return embs
+
+
+def _last_occurrence_mask(
+    safe_ids: jnp.ndarray, valid: jnp.ndarray, n: int
+) -> jnp.ndarray:
+    """True at the LAST valid position of each id (deterministic keep-last)."""
+    pos = jnp.arange(safe_ids.shape[0], dtype=jnp.int32)
+    pos_v = jnp.where(valid, pos, -1)
+    seg_last = jax.ops.segment_max(pos_v, safe_ids, num_segments=n + 1)
+    return valid & (seg_last[safe_ids] == pos_v)
+
+
+@dataclasses.dataclass
+class MemoryModel:
+    """Backbone adapter for TGN / DyRep / JODIE."""
+
+    model_name: str = "TGN"
+    memory_dim: int = 172
+    num_neighbors: int = 10
+    num_layers: int = 1
+    num_heads: int = 2
+    dropout: float = 0.1
+    time_feat_dim: int = 100
+    sample_strategy: str = "recent"
+    time_shifts: TimeShiftStats = TimeShiftStats()
+    has_state: bool = True
+
+    def __post_init__(self):
+        self.module = MemoryModelNet(
+            model_name=self.model_name,
+            memory_dim=self.memory_dim,
+            time_feat_dim=self.time_feat_dim,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            dropout=self.dropout,
+            time_shifts=self.time_shifts,
+        )
+
+    def sample(
+        self, csr: TemporalCSR, ids: jnp.ndarray, ts: jnp.ndarray, key: jax.Array
+    ) -> MemoryModelInputs:
+        ids = ids.astype(jnp.int32)
+        ts = ts.astype(jnp.int32)
+        if self.model_name == "JODIE":
+            return MemoryModelInputs(ids, ts, (ids,), (), (ts,), ())
+        blocks = sample_multi_hop(
+            csr, ids, ts, self.num_neighbors, self.num_layers,
+            self.sample_strategy, key,
+        )
+        b = ids.shape[0]
+        return MemoryModelInputs(
+            ids4=ids,
+            ts4=ts,
+            hop_ids=(ids,) + tuple(blk.nbr.reshape(b, -1) for blk in blocks),
+            hop_eids=tuple(blk.eid.reshape(b, -1) for blk in blocks),
+            hop_ts=(ts,) + tuple(blk.ts.reshape(b, -1) for blk in blocks),
+            hop_mask=tuple(blk.mask.reshape(b, -1) for blk in blocks),
+        )
+
+    def init_state(self, tables: FeatureTables) -> MemoryState:
+        n = tables.node.shape[0]
+        d = self.memory_dim
+        message_dim = 2 * d + self.time_feat_dim + tables.edge_dim
+        return MemoryState(
+            memory=jnp.zeros((n + 1, d), jnp.float32),
+            last_update=jnp.zeros((n + 1,), jnp.int32),
+            msg=jnp.zeros((n + 1, message_dim), jnp.float32),
+            msg_time=jnp.zeros((n + 1,), jnp.int32),
+            msg_valid=jnp.zeros((n + 1,), bool),
+        )
+
+    def init(self, key: jax.Array, tables: FeatureTables, csr: TemporalCSR):
+        ids = jnp.zeros((8,), jnp.int32)
+        ts = jnp.zeros((8,), jnp.int32)
+        inputs = self.sample(csr, ids, ts, jax.random.PRNGKey(0))
+        state = self.init_state(tables)
+        return self.module.init(key, tables, state, inputs)
+
+    def apply(self, params, tables, inputs, *, state=None, train=False, rngs=None):
+        """Embeddings for ids4 against the CURRENT state view (no commit)."""
+        return self.module.apply(
+            params, tables, state, inputs,
+            train=train, rngs=rngs, method=MemoryModelNet.embed,
+        )
+
+    def memory_view(self, params, state: MemoryState):
+        """Lazily-updated (memory, last_update) over all nodes."""
+        return self.module.apply(params, state, method=MemoryModelNet.memory_view)
+
+    def commit(
+        self,
+        params,
+        tables: FeatureTables,
+        state: MemoryState,
+        src: jnp.ndarray,
+        dst: jnp.ndarray,
+        ts: jnp.ndarray,
+        eids: jnp.ndarray,
+        valid: jnp.ndarray,
+        src_emb: jnp.ndarray,
+        dst_emb: jnp.ndarray,
+    ) -> MemoryState:
+        """Positive-edge state transition (MemoryModel.py:139-161):
+        commit pending messages for src+dst, clear slots, store new
+        messages computed from the committed memory."""
+        n = state.memory.shape[0] - 1
+        src = src.astype(jnp.int32)
+        dst = dst.astype(jnp.int32)
+        ts = ts.astype(jnp.int32)
+        eids = eids.astype(jnp.int32)
+        valid = valid.astype(bool)
+        ids2 = jnp.concatenate([src, dst])
+        valid2 = jnp.concatenate([valid, valid])
+        safe2 = jnp.where(valid2, ids2, n)
+
+        # commit pending slots (update_memories, MemoryModel.py:435-459);
+        # duplicate ids write identical rows, so the scatter is deterministic
+        sel_valid = state.msg_valid[safe2] & valid2
+        upd = self.module.apply(
+            params, state.msg[safe2], state.memory[safe2],
+            method=MemoryModelNet.apply_cell,
+        )
+        new_mem_rows = jnp.where(sel_valid[:, None], upd, state.memory[safe2])
+        new_last_rows = jnp.where(
+            sel_valid, state.msg_time[safe2], state.last_update[safe2]
+        )
+        memory = state.memory.at[safe2].set(new_mem_rows)
+        last_update = state.last_update.at[safe2].set(new_last_rows)
+        msg_valid = state.msg_valid.at[safe2].set(False)
+
+        # store new messages from the COMMITTED memory, keep-last per node;
+        # dst-view messages overwrite src-view for nodes in both roles
+        # (reference appends src list then dst list, keep-last wins,
+        # MemoryModel.py:148-161 + 287-291)
+        msg, msg_time = state.msg, state.msg_time
+        for own, partner, partner_emb in (
+            (src, dst, dst_emb),
+            (dst, src, src_emb),
+        ):
+            own_safe = jnp.where(valid, own, n)
+            new_msgs = self.module.apply(
+                params, tables, memory, last_update,
+                own_safe, jnp.where(valid, partner, n), partner_emb, ts, eids,
+                method=MemoryModelNet.new_messages,
+            )
+            keep = _last_occurrence_mask(own_safe, valid, n)
+            idx = jnp.where(keep, own_safe, n)
+            msg = msg.at[idx].set(jnp.where(keep[:, None], new_msgs, msg[idx]))
+            msg_time = msg_time.at[idx].set(jnp.where(keep, ts, msg_time[idx]))
+            msg_valid = msg_valid.at[idx].set(
+                jnp.where(keep, True, msg_valid[idx])
+            )
+
+        # scrub the dump row
+        memory = memory.at[n].set(0.0)
+        last_update = last_update.at[n].set(0)
+        msg = msg.at[n].set(0.0)
+        msg_time = msg_time.at[n].set(0)
+        msg_valid = msg_valid.at[n].set(False)
+        return MemoryState(memory, last_update, msg, msg_time, msg_valid)
+
+    def forward_and_maybe_commit(
+        self,
+        params,
+        tables: FeatureTables,
+        state: MemoryState,
+        inputs: MemoryModelInputs,
+        src, dst, ts, eids, valid,
+        *,
+        edges_are_positive: bool = True,
+        train: bool = False,
+        rngs=None,
+    ) -> tuple[jnp.ndarray, MemoryState]:
+        """One full step: embed the quad, commit positives, DyRep output swap."""
+        embs4 = self.apply(
+            params, tables, inputs, state=state, train=train, rngs=rngs
+        )
+        b = src.shape[0]
+        new_state = state
+        if edges_are_positive:
+            new_state = self.commit(
+                params, tables, state, src, dst, ts, eids, valid,
+                embs4[:b], embs4[b : 2 * b],
+            )
+        if self.model_name == "DyRep":
+            # returned embeddings are the (pre-commit) updated memories
+            # (MemoryModel.py:163-166) — for the negative pair too
+            view_mem, _ = self.module.apply(
+                params, state, method=MemoryModelNet.memory_view
+            )
+            embs4 = view_mem[inputs.ids4]
+        return embs4, new_state

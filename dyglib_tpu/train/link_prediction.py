@@ -7,29 +7,34 @@ Choreography preserved:
   * chronological batches, shuffle never (train_link_prediction.py:57-61);
   * train negatives: only destinations resampled, neg_src = src
     (train_link_prediction.py:164-166); eval negatives: (neg_src, neg_dst)
-    both drawn from the split's seeded sampler, with batch time-range plumbed
-    through for historical/inductive strategies
+    both drawn from the split's seeded sampler, with batch time-range
+    plumbed through for historical/inductive strategies
     (evaluate_models_utils.py:55-66);
   * loss = mean BCE over [positives || negatives]
     (train_link_prediction.py:243-249) — computed on logits here, same math;
   * metrics per batch, averaged across batches (train:302-309);
   * early stopping when ALL val metrics stop improving (train:349-355);
-  * train graph for training, full graph for evaluation (train:148-150,
-    evaluate_models_utils.py:39-41);
+  * train graph for training, full graph for evaluation (train:148-150);
   * eval negative samplers reset to their seed before each sweep
-    (evaluate_models_utils.py:36-37).
+    (evaluate_models_utils.py:36-37);
+  * memory models: memory re-initialized each epoch (train:152-154);
+    backup/reload staging train -> val -> new-node-val -> test ->
+    new-node-test (train:265-299, 323-340) expressed as functional state
+    values handed between sweeps; eval commits positive edges; the best
+    checkpoint stores params + post-val memory state (EarlyStopping.py:65-74
+    + the *_nonparametric_data payload); no final val re-eval for memory
+    models (train:363-366).
 
 TPU-native deviations: the whole step (neighbor sampling + forward + loss +
-backward + update) is one jitted program on static shapes; positives and
-negatives are embedded in one 4B-row forward; padded tail rows are masked
-out of loss and metrics.
+backward + state commit + update) is one jitted program on static shapes;
+positives and negatives are embedded in one 4B-row forward (they share the
+same pre-commit memory view, train:186-207); padded tail rows are masked
+out of loss, metrics, and state transitions.
 """
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +44,7 @@ import optax
 from ..data.batching import Batch, chronological_batches
 from ..data.containers import EdgeStream
 from ..data.datasets import LinkPredictionData
-from ..graph.csr import TemporalCSR, build_temporal_csr, time_keys
+from ..graph.csr import build_temporal_csr, time_keys
 from ..graph.neg_sampler import NegativeEdgeSampler
 from ..models.base import FeatureTables
 from ..nn.modules import MergeLayer
@@ -64,8 +69,9 @@ class TrainConfig:
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """Adam / SGD / RMSprop, matching create_optimizer (utils/utils.py:50-68)."""
     if cfg.optimizer == "adam":
-        return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay) \
-            if cfg.weight_decay else optax.adam(cfg.learning_rate)
+        if cfg.weight_decay:
+            return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        return optax.adam(cfg.learning_rate)
     if cfg.optimizer == "sgd":
         return optax.sgd(cfg.learning_rate)
     if cfg.optimizer == "rmsprop":
@@ -82,18 +88,20 @@ class LinkPredictionTrainer:
         data: LinkPredictionData,
         cfg: TrainConfig,
         save_path: str,
-        rich_negatives: bool = False,
     ):
         self.backbone = backbone
         self.data = data
         self.cfg = cfg
         self.save_path = save_path
+        self.has_state = getattr(backbone, "has_state", False)
 
         self.tables = FeatureTables(
             node=jnp.asarray(data.node_raw_features),
             edge=jnp.asarray(data.edge_raw_features),
         )
-        with_tia = getattr(backbone, "sample_strategy", "recent") == "time_interval_aware"
+        with_tia = (
+            getattr(backbone, "sample_strategy", "recent") == "time_interval_aware"
+        )
         self.train_csr = build_temporal_csr(
             data.train, num_nodes=data.num_nodes,
             time_scaling_factor=cfg.time_scaling_factor, with_tia=with_tia,
@@ -105,9 +113,8 @@ class LinkPredictionTrainer:
 
         self.head = MergeLayer(hidden_dim=self.tables.node_dim, output_dim=1)
 
-        # negative samplers with the reference's seed layout
-        # (train unseeded; val/nn-val/test/nn-test = 0/1/2/3,
-        #  train_link_prediction.py:49-54)
+        # negative samplers with the reference's seed layout (train unseeded;
+        # val/nn-val/test/nn-test = 0/1/2/3, train_link_prediction.py:49-54)
         d = data
         self.train_neg = NegativeEdgeSampler(d.train.src, d.train.dst)
         self.val_neg = NegativeEdgeSampler(d.full.src, d.full.dst, seed=0)
@@ -122,46 +129,62 @@ class LinkPredictionTrainer:
         self._build_steps()
 
     # ---------------------------------------------------------------- jitted
-    def _embed_quad(self, params, csr, ids4, ts4, key, train, state):
-        """One batched forward over [src || dst || neg_src || neg_dst]."""
+    def _forward(self, params, csr, batch, key, train, state, commit):
+        """Quad forward (+ optional state commit) -> loss, probs, new_state."""
+        src, dst, neg_src, neg_dst, ts, eid, valid = batch
+        ids4 = jnp.concatenate([src, dst, neg_src, neg_dst])
+        ts4 = jnp.tile(ts, 4)
         sample_key, dropout_key = jax.random.split(key)
         inputs = self.backbone.sample(csr, ids4, ts4, sample_key)
         rngs = {"dropout": dropout_key} if train else None
-        embs = self.backbone.apply(
-            params["backbone"], self.tables, inputs,
-            state=state, train=train, rngs=rngs,
-        )
-        return jnp.split(embs, 4, axis=0)
 
-    def _logits(self, params, src_e, dst_e):
-        return self.head.apply(params["head"], src_e, dst_e)[..., 0]
+        if self.has_state:
+            embs4, new_state = self.backbone.forward_and_maybe_commit(
+                params["backbone"], self.tables, state, inputs,
+                src, dst, ts, eid, valid,
+                edges_are_positive=commit, train=train, rngs=rngs,
+            )
+        else:
+            embs4 = self.backbone.apply(
+                params["backbone"], self.tables, inputs,
+                state=state, train=train, rngs=rngs,
+            )
+            new_state = state
+        s_e, d_e, ns_e, nd_e = jnp.split(embs4, 4, axis=0)
 
-    def _loss_and_probs(self, params, csr, batch, key, train, state):
-        src, dst, neg_src, neg_dst, ts, valid = batch
-        ids4 = jnp.concatenate([src, dst, neg_src, neg_dst])
-        ts4 = jnp.tile(ts, 4)
-        s_e, d_e, ns_e, nd_e = self._embed_quad(
-            params, csr, ids4, ts4, key, train, state
+        pos_logit = self.head.apply(params["head"], s_e, d_e)[..., 0]
+        neg_logit = self.head.apply(params["head"], ns_e, nd_e)[..., 0]
+        bce_pos = optax.sigmoid_binary_cross_entropy(
+            pos_logit, jnp.ones_like(pos_logit)
         )
-        pos_logit = self._logits(params, s_e, d_e)
-        neg_logit = self._logits(params, ns_e, nd_e)
-        bce_pos = optax.sigmoid_binary_cross_entropy(pos_logit, jnp.ones_like(pos_logit))
-        bce_neg = optax.sigmoid_binary_cross_entropy(neg_logit, jnp.zeros_like(neg_logit))
+        bce_neg = optax.sigmoid_binary_cross_entropy(
+            neg_logit, jnp.zeros_like(neg_logit)
+        )
         denom = jnp.maximum(2.0 * valid.sum(), 1.0)
         loss = ((bce_pos + bce_neg) * valid).sum() / denom
-        return loss, (jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit))
+        probs = (jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit))
+        return loss, probs, new_state
 
     def _build_steps(self):
-        def train_step(params, opt_state, csr, batch, key):
-            (loss, probs), grads = jax.value_and_grad(
-                self._loss_and_probs, has_aux=True
-            )(params, csr, batch, key, True, None)
+        def train_step(params, opt_state, state, csr, batch, key):
+            def loss_fn(p):
+                loss, probs, new_state = self._forward(
+                    p, csr, batch, key, True, state, True
+                )
+                return loss, (probs, new_state)
+
+            (loss, (probs, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
             updates, opt_state = self.optim.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, probs
+            return params, opt_state, new_state, loss, probs
 
-        def eval_step(params, csr, batch, key):
-            return self._loss_and_probs(params, csr, batch, key, False, None)
+        def eval_step(params, state, csr, batch, key):
+            loss, probs, new_state = self._forward(
+                params, csr, batch, key, False, state, True
+            )
+            return loss, probs, new_state
 
         self.train_step = jax.jit(train_step)
         self.eval_step = jax.jit(eval_step)
@@ -181,6 +204,9 @@ class LinkPredictionTrainer:
         opt_state = self.optim.init(params)
         return params, opt_state
 
+    def init_state(self):
+        return self.backbone.init_state(self.tables) if self.has_state else None
+
     # ------------------------------------------------------------------ loops
     def _batch_arrays(self, b: Batch, neg_src, neg_dst):
         return (
@@ -189,6 +215,7 @@ class LinkPredictionTrainer:
             jnp.asarray(neg_src, jnp.int32),
             jnp.asarray(neg_dst, jnp.int32),
             jnp.asarray(time_keys(b.ts), jnp.int32),
+            jnp.asarray(b.eid, jnp.int32),
             jnp.asarray(b.valid, jnp.float32),
         )
 
@@ -207,22 +234,21 @@ class LinkPredictionTrainer:
         labels = np.concatenate([np.ones(n), np.zeros(n)])
         return link_prediction_metrics(predicts, labels)
 
-    def train_epoch(self, params, opt_state, epoch: int, root_key) -> tuple:
+    def train_epoch(self, params, opt_state, state, epoch: int, root_key):
         losses, metrics = [], []
         for i, b in enumerate(
             chronological_batches(self.data.train, self.cfg.batch_size)
         ):
             _, neg_dst = self.train_neg.sample(b.num_valid)
             neg_dst = self._pad_negs(neg_dst, b)
-            neg_src = b.src  # train negatives keep the source (train:164-166)
-            arrays = self._batch_arrays(b, neg_src, neg_dst)
+            arrays = self._batch_arrays(b, b.src, neg_dst)
             key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
-            params, opt_state, loss, probs = self.train_step(
-                params, opt_state, self.train_csr, arrays, key
+            params, opt_state, state, loss, probs = self.train_step(
+                params, opt_state, state, self.train_csr, arrays, key
             )
             losses.append(float(loss))
             metrics.append(self._batch_metrics(probs, b))
-        return params, opt_state, losses, metrics
+        return params, opt_state, state, losses, metrics
 
     def evaluate(
         self,
@@ -230,10 +256,15 @@ class LinkPredictionTrainer:
         stream: EdgeStream,
         neg_sampler: NegativeEdgeSampler,
         eval_key_salt: int = 0,
-    ) -> tuple[list[float], list[dict]]:
-        """One sweep over a split (evaluate_models_utils.py:19-154)."""
+        state=None,
+    ):
+        """One sweep over a split (evaluate_models_utils.py:19-154).
+
+        Returns (losses, metrics, final_state); positive edges update
+        memory state along the sweep (memory models).
+        """
         if stream.num_interactions == 0:
-            return [], []
+            return [], [], state
         neg_sampler.reset_random_state()
         losses, metrics = [], []
         key = jax.random.PRNGKey(12345 + eval_key_salt)
@@ -252,67 +283,93 @@ class LinkPredictionTrainer:
             arrays = self._batch_arrays(
                 b, self._pad_negs(neg_src, b), self._pad_negs(neg_dst, b)
             )
-            loss, probs = self.eval_step(
-                params, self.full_csr, arrays, jax.random.fold_in(key, i)
+            loss, probs, state = self.eval_step(
+                params, state, self.full_csr, arrays, jax.random.fold_in(key, i)
             )
             losses.append(float(loss))
             metrics.append(self._batch_metrics(probs, b))
-        return losses, metrics
+        return losses, metrics, state
 
     @staticmethod
     def mean_metrics(metrics: list[dict]) -> dict[str, float]:
         if not metrics:
             return {}
-        return {
-            k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]
-        }
+        return {k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]}
 
     def fit(self, seed: int = 0, log=print) -> dict:
         """Full reference choreography for one run; returns the results dict."""
         params, opt_state = self.init_params(seed)
         root_key = jax.random.PRNGKey(seed)
         early = EarlyStopping(self.cfg.patience, self.save_path)
+        last_val_metrics: dict = {}
+        last_nn_val_metrics: dict = {}
 
         for epoch in range(self.cfg.num_epochs):
             t0 = time.time()
-            params, opt_state, tr_losses, tr_metrics = self.train_epoch(
-                params, opt_state, epoch, root_key
+            # memory models reinitialize memory each epoch (train:152-154)
+            state = self.init_state()
+            params, opt_state, state, tr_losses, tr_metrics = self.train_epoch(
+                params, opt_state, state, epoch, root_key
             )
-            val_losses, val_metrics = self.evaluate(params, self.data.val, self.val_neg, 0)
-            nn_val_losses, nn_val_metrics = self.evaluate(
-                params, self.data.new_node_val, self.nn_val_neg, 1
+            train_state = state  # backup after training (train:265-267)
+            _, val_metrics, val_state = self.evaluate(
+                params, self.data.val, self.val_neg, 0, state=train_state
             )
+            # new-node val resumes from the TRAIN backup (train:276-287)
+            _, nn_val_metrics, _ = self.evaluate(
+                params, self.data.new_node_val, self.nn_val_neg, 1,
+                state=train_state,
+            )
+            mv = self.mean_metrics(val_metrics)
+            last_val_metrics = mv
+            last_nn_val_metrics = self.mean_metrics(nn_val_metrics)
             log(
                 f"epoch {epoch + 1}: train loss {np.mean(tr_losses):.4f} "
-                f"ap {self.mean_metrics(tr_metrics).get('average_precision', 0):.4f} | "
-                f"val {self.mean_metrics(val_metrics)} | "
-                f"nn-val ap {self.mean_metrics(nn_val_metrics).get('average_precision', 0):.4f} "
+                f"ap {self.mean_metrics(tr_metrics).get('average_precision', 0):.4f}"
+                f" | val {mv} | nn-val ap "
+                f"{last_nn_val_metrics.get('average_precision', 0):.4f} "
                 f"({time.time() - t0:.1f}s)"
             )
             if (epoch + 1) % self.cfg.test_interval_epochs == 0:
-                test_losses, test_metrics = self.evaluate(
-                    params, self.data.test, self.test_neg, 2
+                _, test_metrics, _ = self.evaluate(
+                    params, self.data.test, self.test_neg, 2, state=val_state
                 )
                 log(f"  test {self.mean_metrics(test_metrics)}")
-            if early.step(self.mean_metrics(val_metrics), params):
+            # checkpoint stores params + post-val memory (EarlyStopping.py:65-74)
+            if early.step(mv, params, val_state):
                 log(f"early stop at epoch {epoch + 1}")
                 break
 
         best = early.load_best()
         params = jax.device_put(best["params"])
+        val_state = (
+            jax.device_put(best["state"]) if best["state"] is not None else None
+        )
 
-        results = {}
-        val_losses, val_metrics = self.evaluate(params, self.data.val, self.val_neg, 0)
-        nn_val_losses, nn_val_metrics = self.evaluate(
-            params, self.data.new_node_val, self.nn_val_neg, 1
+        results: dict = {}
+        if not self.has_state:
+            _, val_metrics, _ = self.evaluate(
+                params, self.data.val, self.val_neg, 0
+            )
+            _, nn_val_metrics, _ = self.evaluate(
+                params, self.data.new_node_val, self.nn_val_neg, 1
+            )
+            results["validate metrics"] = self.mean_metrics(val_metrics)
+            results["new node validate metrics"] = self.mean_metrics(nn_val_metrics)
+        else:
+            # saved memory has seen val edges; reference skips final val
+            # re-eval for memory models (train:363-366)
+            results["validate metrics"] = last_val_metrics
+            results["new node validate metrics"] = last_nn_val_metrics
+
+        _, test_metrics, _ = self.evaluate(
+            params, self.data.test, self.test_neg, 2, state=val_state
         )
-        test_losses, test_metrics = self.evaluate(params, self.data.test, self.test_neg, 2)
-        nn_test_losses, nn_test_metrics = self.evaluate(
-            params, self.data.new_node_test, self.nn_test_neg, 3
+        _, nn_test_metrics, _ = self.evaluate(
+            params, self.data.new_node_test, self.nn_test_neg, 3, state=val_state
         )
-        results["validate metrics"] = self.mean_metrics(val_metrics)
-        results["new node validate metrics"] = self.mean_metrics(nn_val_metrics)
         results["test metrics"] = self.mean_metrics(test_metrics)
         results["new node test metrics"] = self.mean_metrics(nn_test_metrics)
         results["params"] = params
+        results["state"] = val_state
         return results

@@ -44,8 +44,8 @@ def test_eval_determinism(trained):
     (the reference resets sampler RNG before each eval, utils/utils.py:490)."""
     trainer, results = trained
     params = results["params"]
-    _, m1 = trainer.evaluate(params, trainer.data.val, trainer.val_neg, 0)
-    _, m2 = trainer.evaluate(params, trainer.data.val, trainer.val_neg, 0)
+    _, m1, _ = trainer.evaluate(params, trainer.data.val, trainer.val_neg, 0)
+    _, m2, _ = trainer.evaluate(params, trainer.data.val, trainer.val_neg, 0)
     a1 = [m["average_precision"] for m in m1]
     a2 = [m["average_precision"] for m in m2]
     assert np.allclose(a1, a2)
