@@ -1,0 +1,106 @@
+"""CLI argument schemas for the two tasks.
+
+Behavioral parity target: utils/load_configs.py:6-66 (link prediction) and
+:239-289 (node classification) — same flags, defaults, and choices, minus
+the torch-specific ``--gpu`` device plumbing (JAX picks its backend; tests
+pin CPU, production runs use the TPU).
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..data.preprocess import DATASET_NAMES
+from .best_configs import (
+    load_link_prediction_best_configs,
+    load_node_classification_best_configs,
+)
+
+MODEL_NAMES = [
+    "JODIE", "DyRep", "TGAT", "TGN", "CAWN", "EdgeBank", "TCL",
+    "GraphMixer", "DyGFormer",
+]
+
+
+def _common_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--batch_size", type=int, default=200)
+    parser.add_argument("--num_neighbors", type=int, default=20)
+    parser.add_argument(
+        "--sample_neighbor_strategy", type=str, default="recent",
+        choices=["uniform", "recent", "time_interval_aware"],
+    )
+    parser.add_argument("--time_scaling_factor", type=float, default=1e-6)
+    parser.add_argument("--num_walk_heads", type=int, default=8)
+    parser.add_argument("--num_heads", type=int, default=2)
+    parser.add_argument("--num_layers", type=int, default=2)
+    parser.add_argument("--walk_length", type=int, default=1)
+    parser.add_argument("--time_gap", type=int, default=2000)
+    parser.add_argument("--time_feat_dim", type=int, default=100)
+    parser.add_argument("--position_feat_dim", type=int, default=172)
+    parser.add_argument("--patch_size", type=int, default=1)
+    parser.add_argument("--channel_embedding_dim", type=int, default=50)
+    parser.add_argument("--max_input_sequence_length", type=int, default=32)
+    parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--dropout", type=float, default=0.1)
+    parser.add_argument("--num_epochs", type=int, default=100)
+    parser.add_argument(
+        "--optimizer", type=str, default="Adam", choices=["SGD", "Adam", "RMSprop"]
+    )
+    parser.add_argument("--weight_decay", type=float, default=0.0)
+    parser.add_argument("--patience", type=int, default=20)
+    parser.add_argument("--val_ratio", type=float, default=0.15)
+    parser.add_argument("--test_ratio", type=float, default=0.15)
+    parser.add_argument("--num_runs", type=int, default=5)
+    parser.add_argument("--test_interval_epochs", type=int, default=10)
+    parser.add_argument("--load_best_configs", action="store_true", default=False)
+    parser.add_argument(
+        "--data_root", type=str, default="./processed_data",
+        help="directory containing processed datasets",
+    )
+
+
+def get_link_prediction_args(
+    argv: list[str] | None = None, is_evaluation: bool = False
+) -> argparse.Namespace:
+    parser = argparse.ArgumentParser("Interface for the link prediction task")
+    parser.add_argument(
+        "--dataset_name", type=str, default="wikipedia",
+    )
+    parser.add_argument(
+        "--model_name", type=str, default="DyGFormer", choices=MODEL_NAMES
+    )
+    _common_args(parser)
+    parser.add_argument(
+        "--edge_bank_memory_mode", type=str, default="unlimited_memory",
+        choices=["unlimited_memory", "time_window_memory", "repeat_threshold_memory"],
+    )
+    parser.add_argument(
+        "--time_window_mode", type=str, default="fixed_proportion",
+        choices=["fixed_proportion", "repeat_interval"],
+    )
+    parser.add_argument(
+        "--negative_sample_strategy", type=str, default="random",
+        choices=["random", "historical", "inductive"],
+    )
+    args = parser.parse_args(argv)
+
+    if args.model_name == "EdgeBank":
+        assert is_evaluation, "EdgeBank is only applicable for evaluation!"
+    if args.load_best_configs:
+        load_link_prediction_best_configs(args)
+    return args
+
+
+def get_node_classification_args(
+    argv: list[str] | None = None,
+) -> argparse.Namespace:
+    parser = argparse.ArgumentParser("Interface for the node classification task")
+    parser.add_argument("--dataset_name", type=str, default="wikipedia")
+    parser.add_argument(
+        "--model_name", type=str, default="DyGFormer",
+        choices=[m for m in MODEL_NAMES if m != "EdgeBank"],
+    )
+    _common_args(parser)
+    args = parser.parse_args(argv)
+    if args.load_best_configs:
+        load_node_classification_best_configs(args)
+    return args

@@ -1,5 +1,9 @@
 from .base import Backbone, FeatureTables
+from .cawn import CAWN, CAWNInputs, CAWNNet
+from .dygformer import DyGFormer, DyGFormerInputs, DyGFormerNet
+from .edgebank import edge_bank_link_prediction
 from .graphmixer import GraphMixer, GraphMixerInputs, GraphMixerNet, MLPMixer
+from .tcl import TCL, TCLInputs, TCLNet
 from .memory_model import (
     MemoryModel,
     MemoryModelInputs,
@@ -26,4 +30,14 @@ __all__ = [
     "TGAT",
     "TGATInputs",
     "TGATNet",
+    "TCL",
+    "TCLInputs",
+    "TCLNet",
+    "DyGFormer",
+    "DyGFormerInputs",
+    "DyGFormerNet",
+    "CAWN",
+    "CAWNInputs",
+    "CAWNNet",
+    "edge_bank_link_prediction",
 ]

@@ -1,0 +1,247 @@
+"""DyGFormer: patched transformer over full first-hop histories with
+neighbor co-occurrence encoding.
+
+Behavioral parity target: models/DyGFormer.py:11-461.
+
+Semantics preserved:
+  * sequence = target node first (edge id 0, t = interaction time) followed
+    by the most recent max_input_sequence_length - 1 interactions in
+    chronological order, zero-padded at the END (DyGFormer.py:196-245);
+  * time features Phi(t - t_i) with padded rows zeroed (DyGFormer.py:247-268);
+  * NeighborCooccurrenceEncoder: per entry, its occurrence count in the own
+    sequence and in the paired sequence, each count MLP-encoded
+    (1 -> d -> ReLU -> d) and summed over the two channels; padded rows
+    zeroed (DyGFormer.py:320-415) — the reference's np.unique + dict loops
+    become one batched equality-matmul;
+  * patching: reshape to (B, P, patch_size * feat_dim) per channel,
+    4 channels (node/edge/time/co-occurrence) each projected to
+    channel_embedding_dim and stacked (DyGFormer.py:270-306, 146-174);
+  * src and dst patch sequences CONCATENATED and jointly attended by
+    num_layers PRE-LN transformer blocks (norm-before-attention, exact-erf
+    GELU FFN, NO padding mask — distinct from the shared post-LN encoder;
+    DyGFormer.py:418-461), then split, mean-pooled, Linear to node_feat_dim.
+
+TPU-native deviation (documented): the reference pads each batch to its own
+max history length rounded up to the patch size (dynamic shapes,
+DyGFormer.py:219-226); here the sequence length is the STATIC
+round_up(max_input_sequence_length, patch_size). Padded positions carry
+zero features in both implementations and are unmasked in both; only the
+number of zero-feature pad tokens differs, and end-metric parity is
+validated in tests against the reference run end-to-end.
+
+Like TCL, DyGFormer is a PAIRED model: the quad batch is reinterpreted as
+2B (left, right) pairs inside apply.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..graph.csr import TemporalCSR
+from ..graph.sampler import sample_recent
+from ..nn.modules import LN_EPS, TimeEncoder
+from .base import FeatureTables
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class DyGFormerInputs(NamedTuple):
+    seq_ids: jnp.ndarray  # (4B, Lp) int32 — target first, then chronological
+    seq_eids: jnp.ndarray  # (4B, Lp)
+    seq_ts: jnp.ndarray  # (4B, Lp) int32
+    query_ts: jnp.ndarray  # (4B,) int32
+
+
+class PreLNTransformerEncoder(nn.Module):
+    """DyGFormer's local pre-LN block (DyGFormer.py:418-461): norm -> MHA ->
+    residual; norm -> GELU FFN -> residual. No padding mask."""
+
+    attention_dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        d = self.attention_dim
+        hd = d // self.num_heads
+        b, t, _ = x.shape
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x)
+        q = nn.Dense(d, name="q_proj")(h).reshape(b, t, self.num_heads, hd)
+        k = nn.Dense(d, name="k_proj")(h).reshape(b, t, self.num_heads, hd)
+        v = nn.Dense(d, name="v_proj")(h).reshape(b, t, self.num_heads, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+        scores = nn.Dropout(self.dropout, deterministic=not train)(
+            nn.softmax(attn, axis=-1)
+        )
+        hidden = jnp.einsum("bhqk,bkhd->bqhd", scores, v).reshape(b, t, d)
+        hidden = nn.Dense(d, name="out_proj")(hidden)
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(hidden)
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x)
+        h = nn.Dense(4 * d, name="ffn1")(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(
+            nn.gelu(h, approximate=False)
+        )
+        h = nn.Dense(d, name="ffn2")(h)
+        return x + nn.Dropout(self.dropout, deterministic=not train)(h)
+
+
+class DyGFormerNet(nn.Module):
+    time_feat_dim: int = 100
+    channel_embedding_dim: int = 50
+    patch_size: int = 1
+    num_layers: int = 2
+    num_heads: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, tables: FeatureTables, inputs: DyGFormerInputs, *, train: bool = False
+    ) -> jnp.ndarray:
+        ced = self.channel_embedding_dim
+        m, lp = inputs.seq_ids.shape
+        b = m // 4
+        p = lp // self.patch_size
+        valid = inputs.seq_ids != 0  # (4B, Lp)
+
+        # pair up: left = [src, neg_src], right = [dst, neg_dst]
+        li = jnp.concatenate([jnp.arange(b), jnp.arange(2 * b, 3 * b)])
+        ri = jnp.concatenate([jnp.arange(b, 2 * b), jnp.arange(3 * b, 4 * b)])
+
+        # ---- neighbor co-occurrence counts via batched equality
+        ids_l, ids_r = inputs.seq_ids[li], inputs.seq_ids[ri]  # (2B, Lp)
+        eq_ll = (ids_l[:, :, None] == ids_l[:, None, :]).astype(jnp.float32)
+        eq_lr = (ids_l[:, :, None] == ids_r[:, None, :]).astype(jnp.float32)
+        eq_rr = (ids_r[:, :, None] == ids_r[:, None, :]).astype(jnp.float32)
+        cnt_l = jnp.stack([eq_ll.sum(-1), eq_lr.sum(-1)], axis=-1)  # (2B,Lp,2)
+        cnt_r = jnp.stack(
+            [eq_lr.transpose(0, 2, 1).sum(-1), eq_rr.sum(-1)], axis=-1
+        )
+        cnt_l = jnp.where(valid[li][..., None], cnt_l, 0.0)
+        cnt_r = jnp.where(valid[ri][..., None], cnt_r, 0.0)
+        # re-assemble to quad order (4B, Lp, 2)
+        counts = jnp.concatenate(
+            [cnt_l[:b], cnt_r[:b], cnt_l[b:], cnt_r[b:]], axis=0
+        )
+
+        # count -> feature: MLP per channel then sum (DyGFormer.py:396-409)
+        co_fc1 = nn.Dense(ced, name="co_occurrence_fc1")
+        co_fc2 = nn.Dense(ced, name="co_occurrence_fc2")
+        co_feat = co_fc2(nn.relu(co_fc1(counts[..., None]))).sum(axis=2)
+
+        # ---- raw features
+        node_feat = tables.node[inputs.seq_ids]  # (4B, Lp, Dn)
+        edge_feat = tables.edge[inputs.seq_eids]
+        time_enc = TimeEncoder(self.time_feat_dim, name="time_encoder")
+        dt = (inputs.query_ts[:, None] - inputs.seq_ts).astype(jnp.float32)
+        time_feat = jnp.where(valid[..., None], time_enc(dt), 0.0)
+
+        # ---- patching + channel projections
+        def patches(x):
+            return x.reshape(m, p, self.patch_size * x.shape[-1])
+
+        ch = [
+            nn.Dense(ced, name="proj_node")(patches(node_feat)),
+            nn.Dense(ced, name="proj_edge")(patches(edge_feat)),
+            nn.Dense(ced, name="proj_time")(patches(time_feat)),
+            nn.Dense(ced, name="proj_co_occurrence")(patches(co_feat)),
+        ]
+        x = jnp.stack(ch, axis=2).reshape(m, p, 4 * ced)  # (4B, P, 4*ced)
+
+        # ---- joint src||dst attention per pair
+        xl, xr = x[li], x[ri]  # (2B, P, D)
+        joint = jnp.concatenate([xl, xr], axis=1)  # (2B, 2P, D)
+        for i in range(self.num_layers):
+            joint = PreLNTransformerEncoder(
+                4 * ced, self.num_heads, self.dropout, name=f"transformer_{i}"
+            )(joint, train=train)
+        out_l = joint[:, :p, :].mean(axis=1)
+        out_r = joint[:, p:, :].mean(axis=1)
+        output = nn.Dense(tables.node_dim, name="output_layer")
+        emb_l, emb_r = output(out_l), output(out_r)
+        return jnp.concatenate(
+            [emb_l[:b], emb_r[:b], emb_l[b:], emb_r[b:]], axis=0
+        )
+
+
+@dataclasses.dataclass
+class DyGFormer:
+    """Backbone adapter for DyGFormerNet (paired model)."""
+
+    max_input_sequence_length: int = 32
+    patch_size: int = 1
+    channel_embedding_dim: int = 50
+    num_layers: int = 2
+    num_heads: int = 2
+    dropout: float = 0.1
+    time_feat_dim: int = 100
+    has_state: bool = False
+    sample_strategy: str = "recent"  # full-history truncation is recency-based
+
+    @property
+    def seq_len(self) -> int:
+        return _round_up(self.max_input_sequence_length, self.patch_size)
+
+    def __post_init__(self):
+        self.module = DyGFormerNet(
+            time_feat_dim=self.time_feat_dim,
+            channel_embedding_dim=self.channel_embedding_dim,
+            patch_size=self.patch_size,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            dropout=self.dropout,
+        )
+
+    def sample(
+        self, csr: TemporalCSR, ids: jnp.ndarray, ts: jnp.ndarray, key: jax.Array
+    ) -> DyGFormerInputs:
+        """Most recent maxlen-1 interactions, LEFT-aligned after the target
+        (reference pad_sequences layout, DyGFormer.py:228-242)."""
+        ids = ids.astype(jnp.int32)
+        ts = ts.astype(jnp.int32)
+        k = self.max_input_sequence_length - 1
+        blk = sample_recent(csr, ids, ts, k)  # right-aligned (B, k)
+        cnt = blk.mask.sum(axis=1)  # valid history length per row
+        # left-align: entry j of the output takes right-aligned entry
+        # j + (k - cnt); out-of-range -> padding
+        j = jnp.arange(k, dtype=jnp.int32)[None, :]
+        src_idx = j + (k - cnt)[:, None]
+        take_valid = j < cnt[:, None]
+        safe = jnp.clip(src_idx, 0, k - 1)
+        gather = lambda x, fill: jnp.where(
+            take_valid, jnp.take_along_axis(x, safe, axis=1), fill
+        )
+        nbr = gather(blk.nbr, 0)
+        eid = gather(blk.eid, 0)
+        tsn = gather(blk.ts, 0)
+
+        pad_cols = self.seq_len - 1 - k
+        if pad_cols > 0:
+            z = jnp.zeros(nbr.shape[:1] + (pad_cols,), nbr.dtype)
+            nbr = jnp.concatenate([nbr, z], axis=1)
+            eid = jnp.concatenate([eid, z], axis=1)
+            tsn = jnp.concatenate([tsn, z], axis=1)
+        zeros = jnp.zeros_like(ids)[:, None]
+        return DyGFormerInputs(
+            seq_ids=jnp.concatenate([ids[:, None], nbr], axis=1),
+            seq_eids=jnp.concatenate([zeros, eid], axis=1),
+            seq_ts=jnp.concatenate([ts[:, None], tsn], axis=1),
+            query_ts=ts,
+        )
+
+    def init(self, key: jax.Array, tables: FeatureTables, csr: TemporalCSR):
+        ids = jnp.zeros((8,), jnp.int32)
+        ts = jnp.zeros((8,), jnp.int32)
+        inputs = self.sample(csr, ids, ts, jax.random.PRNGKey(0))
+        return self.module.init(key, tables, inputs)
+
+    def init_state(self, tables: FeatureTables):
+        return None
+
+    def apply(self, params, tables, inputs, *, state=None, train=False, rngs=None):
+        return self.module.apply(params, tables, inputs, train=train, rngs=rngs)

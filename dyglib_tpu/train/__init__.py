@@ -1,6 +1,7 @@
 from .checkpoints import load_checkpoint, save_checkpoint
 from .early_stopping import EarlyStopping
 from .link_prediction import LinkPredictionTrainer, TrainConfig, make_optimizer
+from .node_classification import NodeClassificationTrainer
 from .metrics import (
     average_precision,
     link_prediction_metrics,
@@ -13,6 +14,7 @@ __all__ = [
     "save_checkpoint",
     "EarlyStopping",
     "LinkPredictionTrainer",
+    "NodeClassificationTrainer",
     "TrainConfig",
     "make_optimizer",
     "average_precision",

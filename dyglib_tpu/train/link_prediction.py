@@ -64,6 +64,7 @@ class TrainConfig:
     val_ratio: float = 0.15
     test_ratio: float = 0.15
     time_scaling_factor: float = 1e-6
+    head_dropout: float = 0.1  # MLPClassifier dropout (node classification)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:

@@ -1,0 +1,199 @@
+"""Dynamic node classification: frozen backbone + MLPClassifier head.
+
+Behavioral parity target: train_node_classification.py:28-368 and
+evaluate_models_utils.py:157-242.
+
+Choreography preserved:
+  * the backbone is initialized from a LINK-PREDICTION checkpoint
+    (train_node_classification.py:116-120) and FROZEN — the optimizer sees
+    only the MLPClassifier head, embeddings are computed without gradients
+    (train:129-151, 172);
+  * the head is trained with BCE on the SOURCE node embedding against the
+    edge label (train:164-230);
+  * metric = ROC-AUC computed GLOBALLY over the split, not per batch
+    (evaluate_models_utils.py:236-240 — the reference's deliberate
+    asymmetry vs link prediction);
+  * memory models: memory re-initialized each epoch, every edge commits
+    (the stream is replayed chronologically), val/test continue from the
+    train-sweep state.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.batching import Batch, chronological_batches
+from ..data.containers import EdgeStream
+from ..data.datasets import NodeClassificationData
+from ..graph.csr import build_temporal_csr, time_keys
+from ..models.base import FeatureTables
+from ..nn.modules import MLPClassifier
+from .early_stopping import EarlyStopping
+from .link_prediction import TrainConfig, make_optimizer
+from .metrics import node_classification_metrics
+
+
+class NodeClassificationTrainer:
+    def __init__(
+        self,
+        backbone,
+        data: NodeClassificationData,
+        cfg: TrainConfig,
+        save_path: str,
+        backbone_params,
+    ):
+        self.backbone = backbone
+        self.data = data
+        self.cfg = cfg
+        self.save_path = save_path
+        self.has_state = getattr(backbone, "has_state", False)
+        self.backbone_params = backbone_params  # frozen
+
+        self.tables = FeatureTables(
+            node=jnp.asarray(data.node_raw_features),
+            edge=jnp.asarray(data.edge_raw_features),
+        )
+        with_tia = (
+            getattr(backbone, "sample_strategy", "recent") == "time_interval_aware"
+        )
+        self.full_csr = build_temporal_csr(
+            data.full, num_nodes=data.num_nodes,
+            time_scaling_factor=cfg.time_scaling_factor, with_tia=with_tia,
+        )
+        self.head = MLPClassifier(dropout=cfg.head_dropout)
+        self.optim = make_optimizer(cfg)
+        self._build_steps()
+
+    # ---------------------------------------------------------------- jitted
+    def _src_embeddings(self, csr, batch, key, state):
+        """Frozen-backbone source embeddings (+ state transition)."""
+        src, dst, ts, eid, valid = batch
+        ids4 = jnp.concatenate([src, dst, src, dst])  # quad layout, reuse pairs
+        ts4 = jnp.tile(ts, 4)
+        inputs = self.backbone.sample(csr, ids4, ts4, key)
+        if self.has_state:
+            embs4, new_state = self.backbone.forward_and_maybe_commit(
+                self.backbone_params, self.tables, state, inputs,
+                src, dst, ts, eid, valid,
+                edges_are_positive=True, train=False, rngs=None,
+            )
+        else:
+            embs4 = self.backbone.apply(
+                self.backbone_params, self.tables, inputs, state=state,
+                train=False, rngs=None,
+            )
+            new_state = state
+        b = src.shape[0]
+        return jax.lax.stop_gradient(embs4[:b]), new_state
+
+    def _build_steps(self):
+        def train_step(head_params, opt_state, state, csr, batch, labels, key):
+            sample_key, dropout_key = jax.random.split(key)
+            src_emb, new_state = self._src_embeddings(csr, batch, sample_key, state)
+            valid = batch[-1]
+
+            def loss_fn(hp):
+                logits = self.head.apply(
+                    hp, src_emb, train=True, rngs={"dropout": dropout_key}
+                )[..., 0]
+                bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+                return (bce * valid).sum() / jnp.maximum(valid.sum(), 1.0), logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                head_params
+            )
+            updates, opt_state = self.optim.update(grads, opt_state, head_params)
+            head_params = optax.apply_updates(head_params, updates)
+            return head_params, opt_state, new_state, loss, jax.nn.sigmoid(logits)
+
+        def eval_step(head_params, state, csr, batch, key):
+            src_emb, new_state = self._src_embeddings(csr, batch, key, state)
+            logits = self.head.apply(head_params, src_emb, train=False)[..., 0]
+            return jax.nn.sigmoid(logits), new_state
+
+        self.train_step = jax.jit(train_step)
+        self.eval_step = jax.jit(eval_step)
+
+    # ----------------------------------------------------------------- loops
+    def _batch_arrays(self, b: Batch):
+        return (
+            jnp.asarray(b.src, jnp.int32),
+            jnp.asarray(b.dst, jnp.int32),
+            jnp.asarray(time_keys(b.ts), jnp.int32),
+            jnp.asarray(b.eid, jnp.int32),
+            jnp.asarray(b.valid, jnp.float32),
+        )
+
+    def init_params(self, seed: int):
+        key = jax.random.PRNGKey(seed)
+        head_params = self.head.init(key, jnp.zeros((1, self.tables.node_dim)))
+        return head_params, self.optim.init(head_params)
+
+    def init_state(self):
+        return self.backbone.init_state(self.tables) if self.has_state else None
+
+    def evaluate(self, head_params, stream: EdgeStream, state=None, salt=0):
+        """Global-AUC sweep (evaluate_models_utils.py:157-242)."""
+        probs, labels = [], []
+        key = jax.random.PRNGKey(999 + salt)
+        for i, b in enumerate(chronological_batches(stream, self.cfg.batch_size)):
+            p, state = self.eval_step(
+                head_params, state, self.full_csr,
+                self._batch_arrays(b), jax.random.fold_in(key, i),
+            )
+            n = b.num_valid
+            probs.append(np.asarray(p)[:n])
+            labels.append(b.label[:n])
+        metrics = node_classification_metrics(
+            np.concatenate(probs), np.concatenate(labels)
+        )
+        return metrics, state
+
+    def fit(self, seed: int = 0, log=print) -> dict:
+        head_params, opt_state = self.init_params(seed)
+        root_key = jax.random.PRNGKey(seed)
+        early = EarlyStopping(self.cfg.patience, self.save_path)
+
+        for epoch in range(self.cfg.num_epochs):
+            t0 = time.time()
+            state = self.init_state()
+            losses = []
+            for i, b in enumerate(
+                chronological_batches(self.data.train, self.cfg.batch_size)
+            ):
+                key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
+                head_params, opt_state, state, loss, _ = self.train_step(
+                    head_params, opt_state, state, self.full_csr,
+                    self._batch_arrays(b),
+                    jnp.asarray(b.label, jnp.float32), key,
+                )
+                losses.append(float(loss))
+            val_metrics, val_state = self.evaluate(
+                head_params, self.data.val, state=state, salt=0
+            )
+            log(
+                f"epoch {epoch + 1}: train loss {np.mean(losses):.4f} "
+                f"val auc {val_metrics['roc_auc']:.4f} ({time.time() - t0:.1f}s)"
+            )
+            if early.step(val_metrics, head_params, val_state):
+                log(f"early stop at epoch {epoch + 1}")
+                break
+
+        best = early.load_best()
+        head_params = jax.device_put(best["params"])
+        val_state = (
+            jax.device_put(best["state"]) if best["state"] is not None else None
+        )
+        test_metrics, _ = self.evaluate(
+            head_params, self.data.test, state=val_state, salt=1
+        )
+        return {
+            "validate metrics": dict(early.best),
+            "test metrics": test_metrics,
+            "head_params": head_params,
+        }

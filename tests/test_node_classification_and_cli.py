@@ -1,0 +1,124 @@
+"""Node classification task + full CLI-driver pipeline on synthetic data."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dyglib_tpu.configs import get_link_prediction_args, get_node_classification_args
+from dyglib_tpu.runners import (
+    run_link_prediction_evaluation,
+    run_link_prediction_training,
+    run_node_classification_training,
+)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, synthetic_dataset, monkeypatch_module=None):
+    d = tmp_path_factory.mktemp("runs")
+    return str(d), synthetic_dataset
+
+
+def _argv(data_root, extra):
+    return [
+        "--dataset_name", "synthetic",
+        "--data_root", data_root,
+        "--num_runs", "1",
+        "--num_epochs", "2",
+        "--patience", "5",
+        "--batch_size", "200",
+        "--learning_rate", "1e-3",
+    ] + extra
+
+
+def test_full_cli_pipeline(workdir):
+    """train -> evaluate (historical negatives) -> node classification,
+    through the same surfaces the reference drivers expose."""
+    wd, data_root = workdir
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        args = get_link_prediction_args(
+            _argv(data_root, ["--model_name", "TGAT", "--num_neighbors", "10"])
+        )
+        agg = run_link_prediction_training(args)
+        ap_mean, _ = agg["test"]["average_precision"]
+        assert 0.4 < ap_mean <= 1.0
+
+        # artifacts in the reference layout
+        assert os.path.exists(
+            "saved_models/TGAT/synthetic/TGAT_seed0/TGAT_seed0.pkl"
+        )
+        rj = json.load(open("saved_results/TGAT/synthetic/TGAT_seed0.json"))
+        assert "test metrics" in rj and "new node test metrics" in rj
+        assert os.path.isdir("logs/TGAT/synthetic/TGAT_seed0")
+
+        # evaluation with historical negatives against the saved checkpoint
+        eval_args = get_link_prediction_args(
+            _argv(
+                data_root,
+                [
+                    "--model_name", "TGAT", "--num_neighbors", "10",
+                    "--negative_sample_strategy", "historical",
+                ],
+            ),
+            is_evaluation=True,
+        )
+        agg = run_link_prediction_evaluation(eval_args)
+        # historical negatives are HARDER than random: AP well below the
+        # random-negative score but still defined
+        ap_hist, _ = agg["test"]["average_precision"]
+        assert 0.0 < ap_hist <= 1.0
+
+        # node classification on the frozen backbone
+        nc_args = get_node_classification_args(
+            _argv(data_root, ["--model_name", "TGAT", "--num_neighbors", "10"])
+        )
+        agg = run_node_classification_training(nc_args)
+        auc_mean, _ = agg["test"]["roc_auc"]
+        assert np.isfinite(auc_mean) and 0.0 <= auc_mean <= 1.0
+    finally:
+        os.chdir(cwd)
+
+
+def test_edgebank_cli_evaluation(workdir):
+    wd, data_root = workdir
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        args = get_link_prediction_args(
+            _argv(data_root, ["--model_name", "EdgeBank", "--load_best_configs"]),
+            is_evaluation=True,
+        )
+        # synthetic isn't in the best-config tables' dataset lists: the
+        # fallthrough arm applies (repeat_threshold for some strategies)
+        agg = run_link_prediction_evaluation(args)
+        ap, _ = agg["test"]["average_precision"]
+        assert 0.3 < ap <= 1.0
+    finally:
+        os.chdir(cwd)
+
+
+def test_best_configs_tables():
+    """Spot-check the transcribed grid-search winners (load_configs.py)."""
+    args = get_link_prediction_args(
+        ["--model_name", "DyGFormer", "--dataset_name", "lastfm", "--load_best_configs"]
+    )
+    assert (args.max_input_sequence_length, args.patch_size) == (512, 16)
+    args = get_link_prediction_args(
+        ["--model_name", "DyGFormer", "--dataset_name", "CanParl", "--load_best_configs"]
+    )
+    assert (args.max_input_sequence_length, args.patch_size) == (2048, 64)
+    args = get_link_prediction_args(
+        ["--model_name", "CAWN", "--dataset_name", "lastfm", "--load_best_configs"]
+    )
+    assert args.num_neighbors == 128
+    assert args.sample_neighbor_strategy == "time_interval_aware"
+    args = get_link_prediction_args(
+        ["--model_name", "GraphMixer", "--dataset_name", "wikipedia", "--load_best_configs"]
+    )
+    assert args.num_neighbors == 30 and args.dropout == 0.5
+    args = get_node_classification_args(
+        ["--model_name", "TGN", "--dataset_name", "reddit", "--load_best_configs"]
+    )
+    assert args.num_neighbors == 10 and args.num_layers == 1

@@ -1,0 +1,90 @@
+"""TCL, DyGFormer, CAWN end-to-end + EdgeBank semantics."""
+import numpy as np
+import pytest
+
+from dyglib_tpu.models import (
+    CAWN,
+    DyGFormer,
+    TCL,
+    edge_bank_link_prediction,
+)
+from dyglib_tpu.train import LinkPredictionTrainer, TrainConfig
+
+
+def _fit(backbone, link_data, tmp_path, epochs=2, lr=1e-3):
+    cfg = TrainConfig(
+        batch_size=200, num_epochs=epochs, patience=5, learning_rate=lr
+    )
+    trainer = LinkPredictionTrainer(
+        backbone, link_data, cfg, str(tmp_path / "ck.pkl")
+    )
+    return trainer.fit(seed=0, log=lambda *a: None)
+
+
+def test_tcl_end_to_end(link_data, tmp_path):
+    # TCL is a slow learner on this task (val AP 0.49 -> 0.56 over 6
+    # epochs); 4 epochs clears 0.52 with margin over the untrained 0.50
+    results = _fit(
+        TCL(num_neighbors=10, num_layers=2), link_data, tmp_path, epochs=4
+    )
+    ap = results["test metrics"]["average_precision"]
+    assert ap > 0.52 and np.isfinite(ap), f"TCL test AP {ap}"
+
+
+def test_dygformer_end_to_end(link_data, tmp_path):
+    results = _fit(
+        DyGFormer(max_input_sequence_length=32, patch_size=2, num_layers=2),
+        link_data, tmp_path, epochs=4, lr=5e-4,
+    )
+    ap = results["test metrics"]["average_precision"]
+    # DyGFormer's co-occurrence channel directly detects repeat edges, the
+    # dominant structure of the synthetic data; 1e-3 oscillates, 5e-4 is
+    # stable around val AP ~0.7 within a few epochs
+    assert ap > 0.62, f"DyGFormer test AP {ap}"
+
+
+def test_cawn_end_to_end(link_data, tmp_path):
+    # tiny walk config: CAWN's BiLSTM-over-walks is O(B * K^L) LSTM steps
+    # and dominates CPU time at production sizes (true of the reference
+    # too); K=8, L=1 keeps the CPU test fast while exercising every path
+    results = _fit(
+        CAWN(num_neighbors=8, walk_length=1, num_walk_heads=8),
+        link_data, tmp_path,
+    )
+    ap = results["test metrics"]["average_precision"]
+    assert ap > 0.55 and np.isfinite(ap), f"CAWN test AP {ap}"
+
+
+def test_edgebank_modes(link_data):
+    d = link_data
+    history = d.train
+    pos = (d.val.src[:300], d.val.dst[:300])
+    rng = np.random.default_rng(0)
+    neg = (
+        rng.choice(np.unique(history.src), 300),
+        rng.choice(np.unique(history.dst), 300),
+    )
+    for mode, twm in [
+        ("unlimited_memory", "fixed_proportion"),
+        ("time_window_memory", "fixed_proportion"),
+        ("time_window_memory", "repeat_interval"),
+        ("repeat_threshold_memory", "fixed_proportion"),
+    ]:
+        pp, np_ = edge_bank_link_prediction(
+            history, pos, neg, edge_bank_memory_mode=mode, time_window_mode=twm
+        )
+        assert set(np.unique(pp)) <= {0.0, 1.0}
+        assert len(pp) == 300 and len(np_) == 300
+    # unlimited memory must recall every historical edge exactly
+    pp, _ = edge_bank_link_prediction(
+        history, (history.src[:100], history.dst[:100]), neg,
+        edge_bank_memory_mode="unlimited_memory",
+    )
+    assert pp.all()
+    # repeat-heavy synthetic val edges: unlimited memory should score well
+    pp, np_ = edge_bank_link_prediction(history, pos, neg)
+    from dyglib_tpu.train.metrics import average_precision
+
+    labels = np.r_[np.ones(300), np.zeros(300)]
+    preds = np.r_[pp, np_]
+    assert average_precision(labels, preds) > 0.55
