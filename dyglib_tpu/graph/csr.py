@@ -118,18 +118,25 @@ def _tia_cumulative_weights(
     v_i = exp(a*dt_i) / cumsum_j<=i exp(a*dt_j), dt relative to the node's
     LAST interaction (utils/utils.py:112-128); 0/0 positions -> -1e10, whose
     exp underflows to 0 exactly as torch.softmax treats them at sample time.
+
+    Fully vectorized: segment-local cumsums are global cumsums minus the
+    value accumulated before each segment start.
     """
     m = len(ts)
-    cew = np.zeros(m, dtype=np.float64)
-    for n in range(len(offsets) - 1):
-        lo, hi = offsets[n], offsets[n + 1]
-        if hi == lo:
-            continue
-        seg_ts = ts[lo:hi]
-        dt = seg_ts - seg_ts[-1]
-        ew = np.exp(alpha * dt)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            v = ew / np.cumsum(ew)
-        v[np.isnan(v)] = -1e10
-        cew[lo:hi] = np.cumsum(np.exp(v))
-    return cew.astype(np.float32)
+    if m == 0:
+        return np.zeros(0, dtype=np.float32)
+    n = len(offsets) - 1
+    seg_id = np.repeat(np.arange(n), np.diff(offsets))
+
+    def seg_cumsum(x: np.ndarray) -> np.ndarray:
+        cs = np.cumsum(x)
+        start = offsets[seg_id]  # first flat index of each element's segment
+        base = cs[start] - x[start]  # cumsum strictly before the segment
+        return cs - base
+
+    seg_last = ts[offsets[seg_id + 1] - 1]  # node's last interaction time
+    ew = np.exp(alpha * (ts - seg_last))
+    wcs = seg_cumsum(ew)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = np.where(wcs > 0, ew / wcs, -1e10)
+    return seg_cumsum(np.exp(v)).astype(np.float32)
