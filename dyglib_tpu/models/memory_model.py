@@ -314,12 +314,16 @@ class MemoryModel:
         n = tables.node.shape[0]
         d = self.memory_dim
         message_dim = 2 * d + self.time_feat_dim + tables.edge_dim
+        # rows padded to a multiple of 8 so the node axis shards evenly on
+        # small meshes; commit() uses the LAST row as the dump slot and the
+        # extra rows are never addressed
+        rows = ((n + 1 + 7) // 8) * 8
         return MemoryState(
-            memory=jnp.zeros((n + 1, d), jnp.float32),
-            last_update=jnp.zeros((n + 1,), jnp.int32),
-            msg=jnp.zeros((n + 1, message_dim), jnp.float32),
-            msg_time=jnp.zeros((n + 1,), jnp.int32),
-            msg_valid=jnp.zeros((n + 1,), bool),
+            memory=jnp.zeros((rows, d), jnp.float32),
+            last_update=jnp.zeros((rows,), jnp.int32),
+            msg=jnp.zeros((rows, message_dim), jnp.float32),
+            msg_time=jnp.zeros((rows,), jnp.int32),
+            msg_valid=jnp.zeros((rows,), bool),
         )
 
     def init(self, key: jax.Array, tables: FeatureTables, csr: TemporalCSR):
