@@ -237,6 +237,49 @@ def run_link_prediction_evaluation(args) -> dict:
     }
 
 
+def run_node_classification_evaluation(args) -> dict:
+    """Evaluate saved node-classification heads (evaluate_node_classification.py)."""
+    link_data = get_link_prediction_data(
+        args.dataset_name, args.val_ratio, args.test_ratio, args.data_root
+    )
+    nc_data = get_node_classification_data(
+        args.dataset_name, args.val_ratio, args.test_ratio, args.data_root
+    )
+    cfg = train_config_from_args(args)
+    all_test = []
+    logger = None
+    for run in range(args.num_runs):
+        run_name = f"evaluate_node_classification_{args.model_name}_seed{run}"
+        logger = make_run_logger(args, run_name)
+        backbone = build_backbone(args, link_data)
+        bk_ckpt = load_checkpoint(checkpoint_path(args, run))
+        head_ckpt = load_checkpoint(
+            checkpoint_path(args, run).replace(".pkl", "_node_classification.pkl")
+        )
+        import jax
+
+        trainer = NodeClassificationTrainer(
+            backbone, nc_data, cfg, "/dev/null",
+            jax.device_put(bk_ckpt["params"]["backbone"]),
+        )
+        head_params = jax.device_put(head_ckpt["params"])
+        state = (
+            jax.device_put(head_ckpt["state"])
+            if head_ckpt["state"] is not None else None
+        )
+        # replay train+val chronologically to warm memory, then test
+        if trainer.has_state and state is None:
+            state = trainer.init_state()
+        test_metrics, _ = trainer.evaluate(
+            head_params, nc_data.test, state=state, salt=1
+        )
+        for k, v in test_metrics.items():
+            logger.info(f"test {k}, {v:.4f}")
+        all_test.append(test_metrics)
+        _save_results(args, run_name, {"test metrics": test_metrics})
+    return {"test": _aggregate(logger, "test", all_test)}
+
+
 def run_node_classification_training(args) -> dict:
     """Frozen-backbone head training (train_node_classification.py)."""
     link_data = get_link_prediction_data(

@@ -34,6 +34,7 @@ out of loss, metrics, and state transitions.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import jax
@@ -48,6 +49,7 @@ from ..graph.csr import build_temporal_csr, time_keys
 from ..graph.neg_sampler import NegativeEdgeSampler
 from ..models.base import FeatureTables
 from ..nn.modules import MergeLayer
+from .checkpoints import load_checkpoint, save_checkpoint
 from .early_stopping import EarlyStopping
 from .metrics import link_prediction_metrics
 
@@ -65,6 +67,7 @@ class TrainConfig:
     test_ratio: float = 0.15
     time_scaling_factor: float = 1e-6
     head_dropout: float = 0.1  # MLPClassifier dropout (node classification)
+    resume_every_batches: int = 0  # >0: write a mid-epoch resume checkpoint
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -94,6 +97,7 @@ class LinkPredictionTrainer:
         self.data = data
         self.cfg = cfg
         self.save_path = save_path
+        self.resume_every = cfg.resume_every_batches
         self.has_state = getattr(backbone, "has_state", False)
 
         self.tables = FeatureTables(
@@ -235,12 +239,16 @@ class LinkPredictionTrainer:
         labels = np.concatenate([np.ones(n), np.zeros(n)])
         return link_prediction_metrics(predicts, labels)
 
-    def train_epoch(self, params, opt_state, state, epoch: int, root_key):
+    def train_epoch(
+        self, params, opt_state, state, epoch: int, root_key, start_batch: int = 0
+    ):
         losses, metrics = [], []
         for i, b in enumerate(
             chronological_batches(self.data.train, self.cfg.batch_size)
         ):
             _, neg_dst = self.train_neg.sample(b.num_valid)
+            if i < start_batch:  # resumed mid-epoch; keep the RNG advancing
+                continue
             neg_dst = self._pad_negs(neg_dst, b)
             arrays = self._batch_arrays(b, b.src, neg_dst)
             key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
@@ -249,6 +257,24 @@ class LinkPredictionTrainer:
             )
             losses.append(float(loss))
             metrics.append(self._batch_metrics(probs, b))
+            if (
+                self.resume_every
+                and (i + 1) % self.resume_every == 0
+            ):
+                save_checkpoint(
+                    self.save_path + ".resume", params, state,
+                    extra={
+                        "epoch": epoch,
+                        "next_batch": i + 1,
+                        "opt_state": jax.tree_util.tree_map(
+                            np.asarray, opt_state
+                        ),
+                        "early_best": dict(self._early.best)
+                        if self._early else {},
+                        "early_counter": self._early.counter
+                        if self._early else 0,
+                    },
+                )
         return params, opt_state, state, losses, metrics
 
     def evaluate(
@@ -297,20 +323,47 @@ class LinkPredictionTrainer:
             return {}
         return {k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]}
 
-    def fit(self, seed: int = 0, log=print) -> dict:
-        """Full reference choreography for one run; returns the results dict."""
+    def fit(self, seed: int = 0, log=print, resume: bool = False) -> dict:
+        """Full reference choreography for one run; returns the results dict.
+
+        With ``resume=True`` and an existing ``<save_path>.resume`` file
+        (written every ``cfg.resume_every_batches`` train batches), training
+        restarts from the recorded epoch/batch with params, optimizer state,
+        memory state, and early-stopping progress restored — the
+        failure-recovery story the reference lacks (SURVEY §5).
+        """
         params, opt_state = self.init_params(seed)
         root_key = jax.random.PRNGKey(seed)
         early = EarlyStopping(self.cfg.patience, self.save_path)
+        self._early = early
         last_val_metrics: dict = {}
         last_nn_val_metrics: dict = {}
 
-        for epoch in range(self.cfg.num_epochs):
+        start_epoch, start_batch = 0, 0
+        resume_state = None
+        if resume and os.path.exists(self.save_path + ".resume"):
+            ck = load_checkpoint(self.save_path + ".resume")
+            params = jax.device_put(ck["params"])
+            resume_state = (
+                jax.device_put(ck["state"]) if ck["state"] is not None else None
+            )
+            opt_state = jax.device_put(ck["extra"]["opt_state"])
+            start_epoch = ck["extra"]["epoch"]
+            start_batch = ck["extra"]["next_batch"]
+            early.best = dict(ck["extra"].get("early_best", {}))
+            early.counter = ck["extra"].get("early_counter", 0)
+            log(f"resuming from epoch {start_epoch + 1}, batch {start_batch}")
+
+        for epoch in range(start_epoch, self.cfg.num_epochs):
             t0 = time.time()
             # memory models reinitialize memory each epoch (train:152-154)
-            state = self.init_state()
+            if epoch == start_epoch and resume_state is not None:
+                state = resume_state
+            else:
+                state = self.init_state()
+            sb = start_batch if epoch == start_epoch else 0
             params, opt_state, state, tr_losses, tr_metrics = self.train_epoch(
-                params, opt_state, state, epoch, root_key
+                params, opt_state, state, epoch, root_key, start_batch=sb
             )
             train_state = state  # backup after training (train:265-267)
             _, val_metrics, val_state = self.evaluate(
@@ -324,12 +377,14 @@ class LinkPredictionTrainer:
             mv = self.mean_metrics(val_metrics)
             last_val_metrics = mv
             last_nn_val_metrics = self.mean_metrics(nn_val_metrics)
+            dt = time.time() - t0
+            n_train = len(tr_losses) * self.cfg.batch_size
             log(
                 f"epoch {epoch + 1}: train loss {np.mean(tr_losses):.4f} "
                 f"ap {self.mean_metrics(tr_metrics).get('average_precision', 0):.4f}"
                 f" | val {mv} | nn-val ap "
                 f"{last_nn_val_metrics.get('average_precision', 0):.4f} "
-                f"({time.time() - t0:.1f}s)"
+                f"({dt:.1f}s, ~{n_train / max(dt, 1e-9):.0f} edges/s incl. eval)"
             )
             if (epoch + 1) % self.cfg.test_interval_epochs == 0:
                 _, test_metrics, _ = self.evaluate(
