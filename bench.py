@@ -32,6 +32,10 @@ BASELINES = {
 
 def main(model_name: str = "dygformer"):
     import jax
+
+    from dyglib_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from dyglib_tpu.data import get_link_prediction_data, write_synthetic_dataset

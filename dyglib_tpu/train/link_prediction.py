@@ -196,18 +196,26 @@ class LinkPredictionTrainer:
 
     # ----------------------------------------------------------------- setup
     def init_params(self, seed: int):
-        key = jax.random.PRNGKey(seed)
-        k_backbone, k_head = jax.random.split(key)
-        params = {
-            "backbone": self.backbone.init(k_backbone, self.tables, self.train_csr),
-            "head": self.head.init(
-                k_head,
-                jnp.zeros((1, self.tables.node_dim)),
-                jnp.zeros((1, self.tables.node_dim)),
-            ),
-        }
-        opt_state = self.optim.init(params)
-        return params, opt_state
+        # initialize on the CPU backend: flax init runs EAGERLY, and on a
+        # remote-compiled TPU platform each tiny eager op would otherwise
+        # pay a full compile round-trip (minutes of wall clock for fresh
+        # shapes); params transfer to the default device afterwards
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            key = jax.random.PRNGKey(seed)
+            k_backbone, k_head = jax.random.split(key)
+            cpu_tables = jax.device_put(self.tables, cpu)
+            cpu_csr = jax.device_put(self.train_csr, cpu)
+            params = {
+                "backbone": self.backbone.init(k_backbone, cpu_tables, cpu_csr),
+                "head": self.head.init(
+                    k_head,
+                    jnp.zeros((1, self.tables.node_dim)),
+                    jnp.zeros((1, self.tables.node_dim)),
+                ),
+            }
+            opt_state = self.optim.init(params)
+        return jax.device_put((params, opt_state), jax.devices()[0])
 
     def init_state(self):
         return self.backbone.init_state(self.tables) if self.has_state else None

@@ -1,3 +1,3 @@
-from .rng import batch_key, set_random_seed
+from .rng import batch_key, enable_compilation_cache, set_random_seed
 
-__all__ = ["batch_key", "set_random_seed"]
+__all__ = ["batch_key", "enable_compilation_cache", "set_random_seed"]

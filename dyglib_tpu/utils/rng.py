@@ -11,6 +11,7 @@ their own ``np.random.Generator`` with the same reset discipline.
 """
 from __future__ import annotations
 
+import os
 import random
 
 import jax
@@ -27,3 +28,13 @@ def set_random_seed(seed: int = 0) -> jax.Array:
 def batch_key(root: jax.Array, epoch: int, batch_idx: int) -> jax.Array:
     """A unique key per (epoch, batch) — replaces global RNG stream advance."""
     return jax.random.fold_in(jax.random.fold_in(root, epoch), batch_idx)
+
+
+def enable_compilation_cache(path: str = os.path.expanduser("~/.jax_cache")) -> None:
+    """Persistent XLA compilation cache — critical on remote-compile TPU
+    platforms where fresh compiles of large training-step graphs can take
+    minutes; cached binaries survive process restarts."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -11,7 +11,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dyglib_tpu.configs import get_link_prediction_args
 from dyglib_tpu.runners import run_link_prediction_evaluation
 
+from dyglib_tpu.utils import enable_compilation_cache
+
 if __name__ == "__main__":
+    enable_compilation_cache()
     args = get_link_prediction_args(is_evaluation=True)
     aggregate = run_link_prediction_evaluation(args)
     for split, metrics in aggregate.items():

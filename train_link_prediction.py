@@ -12,7 +12,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dyglib_tpu.configs import get_link_prediction_args
 from dyglib_tpu.runners import run_link_prediction_training
 
+from dyglib_tpu.utils import enable_compilation_cache
+
 if __name__ == "__main__":
+    enable_compilation_cache()
     args = get_link_prediction_args(is_evaluation=False)
     aggregate = run_link_prediction_training(args)
     for split, metrics in aggregate.items():

@@ -10,7 +10,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dyglib_tpu.configs import get_node_classification_args
 from dyglib_tpu.runners import run_node_classification_training
 
+from dyglib_tpu.utils import enable_compilation_cache
+
 if __name__ == "__main__":
+    enable_compilation_cache()
     args = get_node_classification_args()
     aggregate = run_node_classification_training(args)
     for split, metrics in aggregate.items():
