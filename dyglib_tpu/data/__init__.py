@@ -13,6 +13,7 @@ from .preprocess import (
     check_processed,
     preprocess_dataset,
 )
+from .statistics import dataset_statistics
 from .synthetic import make_synthetic_bipartite, write_synthetic_dataset
 
 __all__ = [
@@ -29,6 +30,7 @@ __all__ = [
     "DATASET_NAMES",
     "check_processed",
     "preprocess_dataset",
+    "dataset_statistics",
     "make_synthetic_bipartite",
     "write_synthetic_dataset",
 ]
