@@ -65,30 +65,40 @@ class PreLNTransformerEncoder(nn.Module):
     attention_dim: int
     num_heads: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         d = self.attention_dim
         hd = d // self.num_heads
         b, t, _ = x.shape
-        h = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x)
-        q = nn.Dense(d, name="q_proj")(h).reshape(b, t, self.num_heads, hd)
-        k = nn.Dense(d, name="k_proj")(h).reshape(b, t, self.num_heads, hd)
-        v = nn.Dense(d, name="v_proj")(h).reshape(b, t, self.num_heads, hd)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+        dense = lambda dd, name: nn.Dense(dd, dtype=self.dtype, name=name)
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x).astype(self.dtype)
+        q = dense(d, "q_proj")(h).reshape(b, t, self.num_heads, hd)
+        k = dense(d, "k_proj")(h).reshape(b, t, self.num_heads, hd)
+        v = dense(d, "v_proj")(h).reshape(b, t, self.num_heads, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / jnp.sqrt(
+            hd
+        ).astype(jnp.float32)
         scores = nn.Dropout(self.dropout, deterministic=not train)(
             nn.softmax(attn, axis=-1)
         )
-        hidden = jnp.einsum("bhqk,bkhd->bqhd", scores, v).reshape(b, t, d)
-        hidden = nn.Dense(d, name="out_proj")(hidden)
-        x = x + nn.Dropout(self.dropout, deterministic=not train)(hidden)
-        h = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x)
-        h = nn.Dense(4 * d, name="ffn1")(h)
+        hidden = jnp.einsum(
+            "bhqk,bkhd->bqhd", scores.astype(self.dtype), v
+        ).reshape(b, t, d)
+        hidden = dense(d, "out_proj")(hidden)
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(
+            hidden.astype(jnp.float32)
+        )
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x).astype(self.dtype)
+        h = dense(4 * d, "ffn1")(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(
             nn.gelu(h, approximate=False)
         )
-        h = nn.Dense(d, name="ffn2")(h)
-        return x + nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = dense(d, "ffn2")(h)
+        return x + nn.Dropout(self.dropout, deterministic=not train)(
+            h.astype(jnp.float32)
+        )
 
 
 class DyGFormerNet(nn.Module):
@@ -98,6 +108,7 @@ class DyGFormerNet(nn.Module):
     num_layers: int = 2
     num_heads: int = 2
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32  # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(
@@ -145,20 +156,22 @@ class DyGFormerNet(nn.Module):
         def patches(x):
             return x.reshape(m, p, self.patch_size * x.shape[-1])
 
+        proj = lambda name: nn.Dense(ced, dtype=self.dtype, name=name)
         ch = [
-            nn.Dense(ced, name="proj_node")(patches(node_feat)),
-            nn.Dense(ced, name="proj_edge")(patches(edge_feat)),
-            nn.Dense(ced, name="proj_time")(patches(time_feat)),
-            nn.Dense(ced, name="proj_co_occurrence")(patches(co_feat)),
+            proj("proj_node")(patches(node_feat).astype(self.dtype)),
+            proj("proj_edge")(patches(edge_feat).astype(self.dtype)),
+            proj("proj_time")(patches(time_feat).astype(self.dtype)),
+            proj("proj_co_occurrence")(patches(co_feat).astype(self.dtype)),
         ]
         x = jnp.stack(ch, axis=2).reshape(m, p, 4 * ced)  # (4B, P, 4*ced)
 
         # ---- joint src||dst attention per pair
         xl, xr = x[li], x[ri]  # (2B, P, D)
-        joint = jnp.concatenate([xl, xr], axis=1)  # (2B, 2P, D)
+        joint = jnp.concatenate([xl, xr], axis=1).astype(jnp.float32)
         for i in range(self.num_layers):
             joint = PreLNTransformerEncoder(
-                4 * ced, self.num_heads, self.dropout, name=f"transformer_{i}"
+                4 * ced, self.num_heads, self.dropout, dtype=self.dtype,
+                name=f"transformer_{i}",
             )(joint, train=train)
         out_l = joint[:, :p, :].mean(axis=1)
         out_r = joint[:, p:, :].mean(axis=1)
@@ -180,6 +193,7 @@ class DyGFormer:
     num_heads: int = 2
     dropout: float = 0.1
     time_feat_dim: int = 100
+    compute_dtype: str = "float32"  # "bfloat16" for single-pass MXU compute
     has_state: bool = False
     sample_strategy: str = "recent"  # full-history truncation is recency-based
 
@@ -195,6 +209,7 @@ class DyGFormer:
             num_layers=self.num_layers,
             num_heads=self.num_heads,
             dropout=self.dropout,
+            dtype=jnp.dtype(self.compute_dtype),
         )
 
     def sample(

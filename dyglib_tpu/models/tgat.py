@@ -53,6 +53,7 @@ class TGATNet(nn.Module):
     num_layers: int = 2
     num_heads: int = 2
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -62,7 +63,8 @@ class TGATNet(nn.Module):
         time_enc = TimeEncoder(self.time_feat_dim, name="time_encoder")
         convs = [
             TemporalMultiHeadAttention(
-                self.num_heads, self.dropout, name=f"temporal_conv_{l}"
+                self.num_heads, self.dropout, dtype=self.dtype,
+                name=f"temporal_conv_{l}",
             )
             for l in range(L)
         ]
@@ -110,6 +112,7 @@ class TGAT:
     num_heads: int = 2
     dropout: float = 0.1
     time_feat_dim: int = 100
+    compute_dtype: str = "float32"
     sample_strategy: str = "recent"
     has_state: bool = False
 
@@ -119,6 +122,7 @@ class TGAT:
             num_layers=self.num_layers,
             num_heads=self.num_heads,
             dropout=self.dropout,
+            dtype=jnp.dtype(self.compute_dtype),
         )
 
     def sample(

@@ -93,10 +93,14 @@ class TemporalMultiHeadAttention(nn.Module):
     key=val= [nbr_feat || edge_feat || nbr_time_feat] (K tokens)
     Padded neighbors get logit -1e10 so fully-padded rows still produce a
     finite (uniform-attention) output instead of NaN (modules.py:182-184).
+
+    ``dtype`` selects the computation dtype (bfloat16 for MXU single-pass);
+    parameters stay float32 and the output is cast back to float32.
     """
 
     num_heads: int = 2
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -117,32 +121,39 @@ class TemporalMultiHeadAttention(nn.Module):
 
         query = residual = jnp.concatenate(
             [node_features, node_time_features], axis=-1
-        )  # (B, Dq)
+        ).astype(self.dtype)  # (B, Dq)
         kv = jnp.concatenate(
             [neighbor_node_features, neighbor_edge_features, neighbor_time_features],
             axis=-1,
-        )  # (B, K, Dk)
+        ).astype(self.dtype)  # (B, K, Dk)
 
-        q = nn.Dense(query_dim, use_bias=False, name="query_projection")(query)
-        key = nn.Dense(query_dim, use_bias=False, name="key_projection")(kv)
-        val = nn.Dense(query_dim, use_bias=False, name="value_projection")(kv)
+        dense = lambda d, name, bias=True: nn.Dense(
+            d, use_bias=bias, dtype=self.dtype, name=name
+        )
+        q = dense(query_dim, "query_projection", False)(query)
+        key = dense(query_dim, "key_projection", False)(kv)
+        val = dense(query_dim, "value_projection", False)(kv)
 
         q = q.reshape(b, self.num_heads, 1, head_dim)
         key = key.reshape(b, k, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         val = val.reshape(b, k, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum("bhld,bhnd->bhln", q, key) * (head_dim**-0.5)
+        attn = jnp.einsum("bhld,bhnd->bhln", q, key).astype(jnp.float32) * (
+            head_dim**-0.5
+        )
         attn = jnp.where(neighbor_mask[:, None, None, :], attn, -1e10)
         scores = nn.softmax(attn, axis=-1)
         scores = nn.Dropout(self.dropout, deterministic=not train)(scores)
 
-        out = jnp.einsum("bhln,bhnd->bhld", scores, val)  # (B, H, 1, hd)
+        out = jnp.einsum("bhln,bhnd->bhld", scores.astype(self.dtype), val)
         out = out.transpose(0, 2, 1, 3).reshape(b, query_dim)
         out = nn.Dropout(self.dropout, deterministic=not train)(
-            nn.Dense(query_dim, name="residual_fc")(out)
+            nn.Dense(query_dim, dtype=self.dtype, name="residual_fc")(out)
         )
-        out = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(out + residual)
-        return out, scores[:, :, 0, :]  # (B, Dq), (B, H, K)
+        out = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(
+            (out + residual).astype(jnp.float32)
+        )
+        return out, scores[:, :, 0, :].astype(jnp.float32)
 
 
 class TransformerEncoder(nn.Module):
