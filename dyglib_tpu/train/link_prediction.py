@@ -68,6 +68,7 @@ class TrainConfig:
     time_scaling_factor: float = 1e-6
     head_dropout: float = 0.1  # MLPClassifier dropout (node classification)
     resume_every_batches: int = 0  # >0: write a mid-epoch resume checkpoint
+    scan_epochs: bool = False  # fuse each train epoch into one lax.scan program
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -191,8 +192,29 @@ class LinkPredictionTrainer:
             )
             return loss, probs, new_state
 
+        def train_epoch_scan(params, opt_state, state, csr, stacked_batches, keys):
+            """Whole epoch as one lax.scan — removes per-batch host dispatch
+            (valuable when the dispatch path, not the chip, is the
+            bottleneck). Semantics identical to the per-batch loop given
+            the same negative samples; per-batch probs are returned for
+            host-side metric computation."""
+
+            def body(carry, inp):
+                params, opt_state, state = carry
+                batch, key = inp
+                params, opt_state, state, loss, probs = train_step(
+                    params, opt_state, state, csr, batch, key
+                )
+                return (params, opt_state, state), (loss, probs)
+
+            (params, opt_state, state), (losses, probs) = jax.lax.scan(
+                body, (params, opt_state, state), (stacked_batches, keys)
+            )
+            return params, opt_state, state, losses, probs
+
         self.train_step = jax.jit(train_step)
         self.eval_step = jax.jit(eval_step)
+        self.train_epoch_scan_fn = jax.jit(train_epoch_scan)
 
     # ----------------------------------------------------------------- setup
     def init_params(self, seed: int):
@@ -285,6 +307,35 @@ class LinkPredictionTrainer:
                 )
         return params, opt_state, state, losses, metrics
 
+    def train_epoch_scanned(self, params, opt_state, state, epoch: int, root_key):
+        """Scan-mode epoch: pre-stage all batches + negatives on host, run
+        one fused program, compute metrics from the stacked outputs.
+
+        Equivalent to train_epoch (same step function, same chronology);
+        mid-epoch resume checkpoints are not written in this mode.
+        """
+        batches, metas = [], []
+        for i, b in enumerate(
+            chronological_batches(self.data.train, self.cfg.batch_size)
+        ):
+            _, neg_dst = self.train_neg.sample(b.num_valid)
+            batches.append(self._batch_arrays(b, b.src, self._pad_negs(neg_dst, b)))
+            metas.append(b)
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
+        )(jnp.arange(len(batches)))
+        params, opt_state, state, losses, probs = self.train_epoch_scan_fn(
+            params, opt_state, state, self.train_csr, stacked, keys
+        )
+        losses = [float(x) for x in np.asarray(losses)]
+        pos, neg = np.asarray(probs[0]), np.asarray(probs[1])
+        metrics = [
+            self._batch_metrics((pos[i], neg[i]), metas[i])
+            for i in range(len(metas))
+        ]
+        return params, opt_state, state, losses, metrics
+
     def evaluate(
         self,
         params,
@@ -370,9 +421,14 @@ class LinkPredictionTrainer:
             else:
                 state = self.init_state()
             sb = start_batch if epoch == start_epoch else 0
-            params, opt_state, state, tr_losses, tr_metrics = self.train_epoch(
-                params, opt_state, state, epoch, root_key, start_batch=sb
-            )
+            if self.cfg.scan_epochs and sb == 0 and not self.resume_every:
+                params, opt_state, state, tr_losses, tr_metrics = (
+                    self.train_epoch_scanned(params, opt_state, state, epoch, root_key)
+                )
+            else:
+                params, opt_state, state, tr_losses, tr_metrics = self.train_epoch(
+                    params, opt_state, state, epoch, root_key, start_batch=sb
+                )
             train_state = state  # backup after training (train:265-267)
             _, val_metrics, val_state = self.evaluate(
                 params, self.data.val, self.val_neg, 0, state=train_state
