@@ -69,6 +69,7 @@ class TrainConfig:
     head_dropout: float = 0.1  # MLPClassifier dropout (node classification)
     resume_every_batches: int = 0  # >0: write a mid-epoch resume checkpoint
     scan_epochs: bool = False  # fuse each train epoch into one lax.scan program
+    profile_dir: str = ""  # non-empty: jax.profiler trace of epoch 2
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -415,6 +416,11 @@ class LinkPredictionTrainer:
 
         for epoch in range(start_epoch, self.cfg.num_epochs):
             t0 = time.time()
+            # optional profiler capture of the second epoch (first is
+            # compile-dominated) — SURVEY §5 tracing subsystem
+            profiling = bool(self.cfg.profile_dir) and epoch == start_epoch + 1
+            if profiling:
+                jax.profiler.start_trace(self.cfg.profile_dir)
             # memory models reinitialize memory each epoch (train:152-154)
             if epoch == start_epoch and resume_state is not None:
                 state = resume_state
@@ -438,6 +444,9 @@ class LinkPredictionTrainer:
                 params, self.data.new_node_val, self.nn_val_neg, 1,
                 state=train_state,
             )
+            if profiling:
+                jax.profiler.stop_trace()
+                log(f"profiler trace written to {self.cfg.profile_dir}")
             mv = self.mean_metrics(val_metrics)
             last_val_metrics = mv
             last_nn_val_metrics = self.mean_metrics(nn_val_metrics)
