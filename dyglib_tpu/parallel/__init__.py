@@ -31,6 +31,7 @@ Design for multi-host pods (next rounds):
     reference's operating points, and would slot in at the attention call
     in `models/dygformer.py::PreLNTransformerEncoder`.
 """
+from .distributed import host_batch_slice, initialize_distributed
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -41,6 +42,8 @@ from .mesh import (
 )
 
 __all__ = [
+    "host_batch_slice",
+    "initialize_distributed",
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharded",
