@@ -56,6 +56,40 @@ def _common_args(parser: argparse.ArgumentParser) -> None:
         "--data_root", type=str, default="./processed_data",
         help="directory containing processed datasets",
     )
+    # --- TPU-native scale-out flags (no reference equivalent, SURVEY §2.6)
+    parser.add_argument(
+        "--scan_epochs", action="store_true", default=False,
+        help="fuse each train epoch into one lax.scan program",
+    )
+    parser.add_argument(
+        "--no_sequence_buckets", action="store_true", default=False,
+        help="disable per-batch sequence-length buckets (DyGFormer)",
+    )
+    parser.add_argument(
+        "--data_parallelism", type=int, default=0,
+        help="devices on the mesh data axis (0 = single device, -1 = all)",
+    )
+    parser.add_argument(
+        "--model_parallelism", type=int, default=1,
+        help="devices on the mesh model axis (feature-sharded tables)",
+    )
+    parser.add_argument(
+        "--coordinator_address", type=str, default="",
+        help="multi-host: jax.distributed coordinator host:port",
+    )
+    parser.add_argument(
+        "--num_processes", type=int, default=1,
+        help="multi-host: total process count",
+    )
+    parser.add_argument(
+        "--process_id", type=int, default=0,
+        help="multi-host: this process's index",
+    )
+    parser.add_argument(
+        "--compute_dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help="MXU compute dtype for backbones that support it",
+    )
 
 
 def get_link_prediction_args(

@@ -20,6 +20,7 @@ from ..models import (
 
 def build_backbone(args: argparse.Namespace, data: LinkPredictionData):
     m = args.model_name
+    dtype = getattr(args, "compute_dtype", "float32")
     if m == "TGAT":
         return TGAT(
             num_neighbors=args.num_neighbors,
@@ -28,6 +29,7 @@ def build_backbone(args: argparse.Namespace, data: LinkPredictionData):
             dropout=args.dropout,
             time_feat_dim=args.time_feat_dim,
             sample_strategy=args.sample_neighbor_strategy,
+            compute_dtype=dtype,
         )
     if m in ("JODIE", "DyRep", "TGN"):
         shifts = compute_src_dst_node_time_shifts(
@@ -81,5 +83,6 @@ def build_backbone(args: argparse.Namespace, data: LinkPredictionData):
             num_heads=args.num_heads,
             dropout=args.dropout,
             time_feat_dim=args.time_feat_dim,
+            compute_dtype=dtype,
         )
     raise ValueError(f"Wrong value for model_name {m!r}!")

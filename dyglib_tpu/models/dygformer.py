@@ -201,6 +201,29 @@ class DyGFormer:
     def seq_len(self) -> int:
         return _round_up(self.max_input_sequence_length, self.patch_size)
 
+    @property
+    def bucket_candidates(self) -> tuple[int, ...]:
+        """Patch-aligned sequence-length buckets {start, 2*start, ..., seq_len}.
+
+        The reference pads each batch to its own max history length rounded
+        up to the patch size (DyGFormer.py:219-226) — dynamic shapes. The
+        TPU-native equivalent is a small set of static buckets: the trainer
+        picks the smallest bucket covering the batch's longest history and
+        dispatches the jit specialization for it, so early-epoch batches
+        (short histories) skip most of the compute. Since DyGFormerNet's
+        parameters are sequence-length independent (patch projections see
+        patch_size*feat_dim), every bucket shares one parameter pytree, and
+        a bucket-B forward is bit-identical to a maxlen-B model's forward.
+        """
+        start = _round_up(max(8, self.patch_size), self.patch_size)
+        out = []
+        c = start
+        while c < self.seq_len:
+            out.append(c)
+            c *= 2
+        out.append(self.seq_len)
+        return tuple(out)
+
     def __post_init__(self):
         self.module = DyGFormerNet(
             time_feat_dim=self.time_feat_dim,
@@ -213,13 +236,25 @@ class DyGFormer:
         )
 
     def sample(
-        self, csr: TemporalCSR, ids: jnp.ndarray, ts: jnp.ndarray, key: jax.Array
+        self,
+        csr: TemporalCSR,
+        ids: jnp.ndarray,
+        ts: jnp.ndarray,
+        key: jax.Array,
+        seq_len: int | None = None,
     ) -> DyGFormerInputs:
         """Most recent maxlen-1 interactions, LEFT-aligned after the target
-        (reference pad_sequences layout, DyGFormer.py:228-242)."""
+        (reference pad_sequences layout, DyGFormer.py:228-242).
+
+        ``seq_len`` (static) overrides the padded sequence length with a
+        smaller bucket from ``bucket_candidates``; histories are truncated
+        to the bucket's most recent seq_len-1 entries, exactly what a
+        maxlen=seq_len model would see.
+        """
+        total = self.seq_len if seq_len is None else seq_len
         ids = ids.astype(jnp.int32)
         ts = ts.astype(jnp.int32)
-        k = self.max_input_sequence_length - 1
+        k = min(self.max_input_sequence_length, total) - 1
         blk = sample_recent(csr, ids, ts, k)  # right-aligned (B, k)
         cnt = blk.mask.sum(axis=1)  # valid history length per row
         # left-align: entry j of the output takes right-aligned entry
@@ -235,7 +270,7 @@ class DyGFormer:
         eid = gather(blk.eid, 0)
         tsn = gather(blk.ts, 0)
 
-        pad_cols = self.seq_len - 1 - k
+        pad_cols = total - 1 - k
         if pad_cols > 0:
             z = jnp.zeros(nbr.shape[:1] + (pad_cols,), nbr.dtype)
             nbr = jnp.concatenate([nbr, z], axis=1)

@@ -414,7 +414,47 @@ class MemoryModel:
         msg = msg.at[n].set(0.0)
         msg_time = msg_time.at[n].set(0)
         msg_valid = msg_valid.at[n].set(False)
-        return MemoryState(memory, last_update, msg, msg_time, msg_valid)
+        # stop_gradient: exact per reference semantics — the loss never
+        # consumes commit outputs (it reads the PRE-commit lazy view), and
+        # the reference detaches the whole bank at every batch boundary
+        # (detach_memory_bank, train_link_prediction.py:261-263), so stored
+        # state carries no gradient. This also keeps the scatter chain out
+        # of the autodiff transpose, which XLA's SPMD partitioner was
+        # observed to miscompile (aux-state corruption) when the state is
+        # node-sharded on a mesh; the pure forward scatters partition
+        # correctly (tests/test_mesh_training.py).
+        return jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            MemoryState(memory, last_update, msg, msg_time, msg_valid),
+        )
+
+    def embed_quad(
+        self,
+        params,
+        tables: FeatureTables,
+        state: MemoryState,
+        inputs: MemoryModelInputs,
+        *,
+        train: bool = False,
+        rngs=None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(output_embs4, raw_embs4).
+
+        raw = the embedding module's outputs (what commit consumes as
+        partner embeddings); output applies DyRep's swap — returned
+        embeddings are the (pre-commit) updated memories
+        (MemoryModel.py:163-166), for the negative pair too.
+        """
+        raw = self.apply(
+            params, tables, inputs, state=state, train=train, rngs=rngs
+        )
+        out = raw
+        if self.model_name == "DyRep":
+            view_mem, _ = self.module.apply(
+                params, state, method=MemoryModelNet.memory_view
+            )
+            out = view_mem[inputs.ids4]
+        return out, raw
 
     def forward_and_maybe_commit(
         self,
@@ -428,22 +468,23 @@ class MemoryModel:
         train: bool = False,
         rngs=None,
     ) -> tuple[jnp.ndarray, MemoryState]:
-        """One full step: embed the quad, commit positives, DyRep output swap."""
-        embs4 = self.apply(
-            params, tables, inputs, state=state, train=train, rngs=rngs
+        """One full step: embed the quad, commit positives, DyRep output swap.
+
+        NOTE for training: do not call this under jax.grad — run
+        ``embed_quad`` inside the loss and ``commit`` outside autodiff with
+        the raw embeddings (see LinkPredictionTrainer._build_steps). The
+        linearized scatter chain of commit was observed to miscompile under
+        the SPMD partitioner with node-sharded state; commit is
+        gradient-free by reference semantics anyway.
+        """
+        embs4, raw = self.embed_quad(
+            params, tables, state, inputs, train=train, rngs=rngs
         )
         b = src.shape[0]
         new_state = state
         if edges_are_positive:
             new_state = self.commit(
                 params, tables, state, src, dst, ts, eids, valid,
-                embs4[:b], embs4[b : 2 * b],
+                raw[:b], raw[b : 2 * b],
             )
-        if self.model_name == "DyRep":
-            # returned embeddings are the (pre-commit) updated memories
-            # (MemoryModel.py:163-166) — for the negative pair too
-            view_mem, _ = self.module.apply(
-                params, state, method=MemoryModelNet.memory_view
-            )
-            embs4 = view_mem[inputs.ids4]
         return embs4, new_state

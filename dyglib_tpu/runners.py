@@ -62,7 +62,36 @@ def train_config_from_args(args) -> TrainConfig:
         test_ratio=args.test_ratio,
         time_scaling_factor=args.time_scaling_factor,
         head_dropout=args.dropout,
+        scan_epochs=getattr(args, "scan_epochs", False),
+        sequence_buckets=not getattr(args, "no_sequence_buckets", False),
     )
+
+
+def setup_parallelism(args):
+    """Multi-host bootstrap + mesh construction from CLI flags.
+
+    Returns (mesh | None, is_lead_process). Call once per process before
+    building trainers. Single process, --data_parallelism 0 (the default)
+    keeps the reference-like single-device path.
+    """
+    from .parallel.distributed import initialize_distributed
+
+    num_procs = getattr(args, "num_processes", 1)
+    proc_idx, _ = initialize_distributed(
+        coordinator_address=getattr(args, "coordinator_address", "") or None,
+        num_processes=num_procs if num_procs > 1 else None,
+        process_id=getattr(args, "process_id", 0) if num_procs > 1 else None,
+    )
+    dp = getattr(args, "data_parallelism", 0)
+    mp = getattr(args, "model_parallelism", 1)
+    if dp == 0 and mp == 1:
+        return None, proc_idx == 0
+    import jax
+
+    from .parallel.mesh import make_mesh
+
+    n = len(jax.devices()) if dp in (0, -1) else dp * mp
+    return make_mesh(n, model_parallelism=mp), proc_idx == 0
 
 
 def _save_results(args, run_name: str, results: dict) -> str:
@@ -99,6 +128,7 @@ def checkpoint_path(args, run: int) -> str:
 
 def run_link_prediction_training(args) -> dict:
     """Multi-run training driver; returns aggregate metrics."""
+    mesh, is_lead = setup_parallelism(args)
     data = get_link_prediction_data(
         args.dataset_name, args.val_ratio, args.test_ratio, args.data_root
     )
@@ -115,7 +145,7 @@ def run_link_prediction_training(args) -> dict:
 
         backbone = build_backbone(args, data)
         trainer = LinkPredictionTrainer(
-            backbone, data, cfg, checkpoint_path(args, run)
+            backbone, data, cfg, checkpoint_path(args, run), mesh=mesh
         )
         results = trainer.fit(seed=run, log=logger.info)
         for split in aggregates:
@@ -123,7 +153,8 @@ def run_link_prediction_training(args) -> dict:
             for k, v in results[f"{split} metrics"].items():
                 logger.info(f"{split} {k}, {v:.4f}")
         logger.info(f"Run {run + 1} cost {time.time() - t0:.2f} seconds.")
-        _save_results(args, run_name, results)
+        if is_lead:  # results/checkpoints written once under multi-host
+            _save_results(args, run_name, results)
 
     logger.info(f"metrics over {args.num_runs} runs:")
     return {
@@ -188,6 +219,7 @@ def run_link_prediction_evaluation(args) -> dict:
             _save_results(args, run_name, {"test metrics": md})
         return {"test": _aggregate(logger, "test", all_runs)}
 
+    mesh, is_lead = setup_parallelism(args)
     aggregates = {k: [] for k in ("validate", "new node validate", "test", "new node test")}
     logger = None
     for run in range(args.num_runs):
@@ -198,13 +230,16 @@ def run_link_prediction_evaluation(args) -> dict:
         logger = make_run_logger(args, run_name)
         backbone = build_backbone(args, data)
         trainer = LinkPredictionTrainer(
-            backbone, data, cfg, checkpoint_path(args, run)
+            backbone, data, cfg, checkpoint_path(args, run), mesh=mesh
         )
         ckpt = load_checkpoint(checkpoint_path(args, run))
         import jax
 
-        params = jax.device_put(ckpt["params"])
-        state = jax.device_put(ckpt["state"]) if ckpt["state"] is not None else None
+        params = trainer._place_repl(jax.device_put(ckpt["params"]))
+        state = (
+            trainer._place_state(jax.device_put(ckpt["state"]))
+            if ckpt["state"] is not None else None
+        )
 
         _, val_metrics, val_state = trainer.evaluate(
             params, data.val, val_neg, 0, state=state
@@ -228,9 +263,10 @@ def run_link_prediction_evaluation(args) -> dict:
             aggregates[split].append(md)
             for k, v in md.items():
                 logger.info(f"{split} {k}, {v:.4f}")
-        _save_results(
-            args, run_name, {f"{s} metrics": m for s, m in per_split.items()}
-        )
+        if is_lead:
+            _save_results(
+                args, run_name, {f"{s} metrics": m for s, m in per_split.items()}
+            )
     return {
         split: _aggregate(logger, split, runs)
         for split, runs in aggregates.items()

@@ -70,6 +70,12 @@ class TrainConfig:
     resume_every_batches: int = 0  # >0: write a mid-epoch resume checkpoint
     scan_epochs: bool = False  # fuse each train epoch into one lax.scan program
     profile_dir: str = ""  # non-empty: jax.profiler trace of epoch 2
+    # per-batch sequence-length bucketing for backbones that support it
+    # (DyGFormer): pick the smallest static bucket covering the batch's
+    # longest history instead of always padding to max_input_sequence_length
+    # — the TPU-native analogue of the reference's per-batch dynamic padding
+    # (DyGFormer.py:219-226). One jit specialization per bucket.
+    sequence_buckets: bool = True
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -94,11 +100,21 @@ class LinkPredictionTrainer:
         data: LinkPredictionData,
         cfg: TrainConfig,
         save_path: str,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh. When given, every training/
+        eval step runs SPMD over it: batches sharded over the ``data`` axis,
+        params/optimizer replicated, feature tables sharded over the
+        ``model`` axis, and memory-model state sharded over nodes (the
+        ``data`` axis) — XLA inserts the ICI collectives. The reference has
+        no distributed execution at all (SURVEY §2.6); this is the TPU-native
+        scale-out path validated on virtual device meshes.
+        """
         self.backbone = backbone
         self.data = data
         self.cfg = cfg
         self.save_path = save_path
+        self.mesh = mesh
         self.resume_every = cfg.resume_every_batches
         self.has_state = getattr(backbone, "has_state", False)
 
@@ -106,6 +122,16 @@ class LinkPredictionTrainer:
             node=jnp.asarray(data.node_raw_features),
             edge=jnp.asarray(data.edge_raw_features),
         )
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharded, feature_sharded, replicated
+
+            self._repl = replicated(mesh)
+            self._bsh = batch_sharded(mesh)
+            self._fsh = feature_sharded(mesh)
+            self.tables = FeatureTables(
+                node=jax.device_put(self.tables.node, self._fsh),
+                edge=jax.device_put(self.tables.edge, self._fsh),
+            )
         with_tia = (
             getattr(backbone, "sample_strategy", "recent") == "time_interval_aware"
         )
@@ -117,6 +143,9 @@ class LinkPredictionTrainer:
             data.full, num_nodes=data.num_nodes,
             time_scaling_factor=cfg.time_scaling_factor, with_tia=with_tia,
         )
+        if mesh is not None:  # adjacency replicated on every device
+            self.train_csr = jax.device_put(self.train_csr, self._repl)
+            self.full_csr = jax.device_put(self.full_csr, self._repl)
 
         self.head = MergeLayer(hidden_dim=self.tables.node_dim, output_dim=1)
 
@@ -132,30 +161,50 @@ class LinkPredictionTrainer:
         self.nn_test_neg = NegativeEdgeSampler(
             d.new_node_test.src, d.new_node_test.dst, seed=3
         )
+        # sequence-length buckets (DyGFormer): active when the backbone
+        # publishes candidates and there is more than one
+        self._buckets: tuple[int, ...] | None = None
+        if cfg.sequence_buckets:
+            cands = getattr(backbone, "bucket_candidates", None)
+            if cands and len(cands) > 1:
+                self._buckets = tuple(cands)
+        self._host_hist: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
         self.optim = make_optimizer(cfg)
         self._build_steps()
 
     # ---------------------------------------------------------------- jitted
-    def _forward(self, params, csr, batch, key, train, state, commit):
+    def _forward(self, params, csr, batch, key, train, state, commit, bucket=None):
         """Quad forward (+ optional state commit) -> loss, probs, new_state."""
         src, dst, neg_src, neg_dst, ts, eid, valid = batch
         ids4 = jnp.concatenate([src, dst, neg_src, neg_dst])
         ts4 = jnp.tile(ts, 4)
         sample_key, dropout_key = jax.random.split(key)
-        inputs = self.backbone.sample(csr, ids4, ts4, sample_key)
+        if bucket is None:
+            inputs = self.backbone.sample(csr, ids4, ts4, sample_key)
+        else:
+            inputs = self.backbone.sample(csr, ids4, ts4, sample_key, seq_len=bucket)
         rngs = {"dropout": dropout_key} if train else None
 
         if self.has_state:
-            embs4, new_state = self.backbone.forward_and_maybe_commit(
+            embs4, raw4 = self.backbone.embed_quad(
                 params["backbone"], self.tables, state, inputs,
-                src, dst, ts, eid, valid,
-                edges_are_positive=commit, train=train, rngs=rngs,
+                train=train, rngs=rngs,
             )
+            if commit:
+                new_state = self.backbone.commit(
+                    params["backbone"], self.tables, state,
+                    src, dst, ts, eid, valid,
+                    raw4[: src.shape[0]], raw4[src.shape[0] : 2 * src.shape[0]],
+                )
+            else:
+                new_state = state
         else:
             embs4 = self.backbone.apply(
                 params["backbone"], self.tables, inputs,
                 state=state, train=train, rngs=rngs,
             )
+            raw4 = embs4
             new_state = state
         s_e, d_e, ns_e, nd_e = jnp.split(embs4, 4, axis=0)
 
@@ -170,26 +219,41 @@ class LinkPredictionTrainer:
         denom = jnp.maximum(2.0 * valid.sum(), 1.0)
         loss = ((bce_pos + bce_neg) * valid).sum() / denom
         probs = (jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit))
-        return loss, probs, new_state
+        return loss, probs, new_state, raw4
 
     def _build_steps(self):
-        def train_step(params, opt_state, state, csr, batch, key):
+        def train_step(params, opt_state, state, csr, batch, key, bucket=None):
             def loss_fn(p):
-                loss, probs, new_state = self._forward(
-                    p, csr, batch, key, True, state, True
+                loss, probs, _, raw4 = self._forward(
+                    p, csr, batch, key, True, state, False, bucket
                 )
-                return loss, (probs, new_state)
+                return loss, (probs, raw4)
 
-            (loss, (probs, new_state)), grads = jax.value_and_grad(
+            (loss, (probs, raw4)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
+            # memory commit runs OUTSIDE autodiff (the linearized scatter
+            # chain miscompiles under the SPMD partitioner with node-sharded
+            # state; commit is gradient-free by reference semantics — see
+            # memory_model.commit). It uses the PRE-update params, matching
+            # the reference order: memory committed during forward, before
+            # optimizer.step (train_link_prediction.py:186-207, 255-257).
+            if self.has_state:
+                src, dst, _, _, ts, eid, valid = batch
+                b = src.shape[0]
+                new_state = self.backbone.commit(
+                    params["backbone"], self.tables, state,
+                    src, dst, ts, eid, valid, raw4[:b], raw4[b : 2 * b],
+                )
+            else:
+                new_state = state
             updates, opt_state = self.optim.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, new_state, loss, probs
 
-        def eval_step(params, state, csr, batch, key):
-            loss, probs, new_state = self._forward(
-                params, csr, batch, key, False, state, True
+        def eval_step(params, state, csr, batch, key, bucket=None):
+            loss, probs, new_state, _ = self._forward(
+                params, csr, batch, key, False, state, True, bucket
             )
             return loss, probs, new_state
 
@@ -213,9 +277,16 @@ class LinkPredictionTrainer:
             )
             return params, opt_state, state, losses, probs
 
-        self.train_step = jax.jit(train_step)
-        self.eval_step = jax.jit(eval_step)
-        self.train_epoch_scan_fn = jax.jit(train_epoch_scan)
+        # params/opt_state/memory-state buffers are donated: every caller
+        # rebinds them to the step's outputs, and XLA can update Adam moments
+        # and the node-memory table in place instead of allocating fresh HBM
+        # each step. eval_step does NOT donate state — the train-state backup
+        # is reused across the val and new-node-val sweeps (train:276-287).
+        self.train_step = jax.jit(
+            train_step, donate_argnums=(0, 1, 2), static_argnums=(6,)
+        )
+        self.eval_step = jax.jit(eval_step, static_argnums=(5,))
+        self.train_epoch_scan_fn = jax.jit(train_epoch_scan, donate_argnums=(0, 1, 2))
 
     # ----------------------------------------------------------------- setup
     def init_params(self, seed: int):
@@ -238,22 +309,90 @@ class LinkPredictionTrainer:
                 ),
             }
             opt_state = self.optim.init(params)
+        if self.mesh is not None:
+            return jax.device_put((params, opt_state), self._repl)
         return jax.device_put((params, opt_state), jax.devices()[0])
 
     def init_state(self):
-        return self.backbone.init_state(self.tables) if self.has_state else None
+        state = self.backbone.init_state(self.tables) if self.has_state else None
+        return self._place_state(state)
+
+    def _place_state(self, state):
+        if state is None or self.mesh is None:
+            return state
+        # memory/message tables sharded over node id: gathers of neighbor
+        # memories and the keep-last commit scatter become XLA collectives
+        # over ICI (SURVEY §2.6 TPU-equivalents)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        return jax.device_put(state, NamedSharding(self.mesh, P(DATA_AXIS)))
 
     # ------------------------------------------------------------------ loops
     def _batch_arrays(self, b: Batch, neg_src, neg_dst):
-        return (
-            jnp.asarray(b.src, jnp.int32),
-            jnp.asarray(b.dst, jnp.int32),
-            jnp.asarray(neg_src, jnp.int32),
-            jnp.asarray(neg_dst, jnp.int32),
-            jnp.asarray(time_keys(b.ts), jnp.int32),
-            jnp.asarray(b.eid, jnp.int32),
-            jnp.asarray(b.valid, jnp.float32),
+        return self._place_batch(
+            (
+                jnp.asarray(b.src, jnp.int32),
+                jnp.asarray(b.dst, jnp.int32),
+                jnp.asarray(neg_src, jnp.int32),
+                jnp.asarray(neg_dst, jnp.int32),
+                jnp.asarray(time_keys(b.ts), jnp.int32),
+                jnp.asarray(b.eid, jnp.int32),
+                jnp.asarray(b.valid, jnp.float32),
+            )
         )
+
+    def _place_batch(self, arrays, spec_rank: int = 0):
+        """Shard a (global) batch tuple over the mesh's data axis.
+
+        Single process: a resharding device_put. Multi-host: every process
+        holds the same global batch (the edge stream is replicated host
+        state) and materializes only its addressable shards via
+        make_array_from_callback — the per-host data-loading path that keeps
+        GLOBAL chronological batch boundaries (parallel/distributed.py).
+        ``spec_rank``: index of the axis to shard (1 for scan-stacked
+        (T, B, ...) arrays).
+        """
+        if self.mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        spec = P(*([None] * spec_rank + [DATA_AXIS]))
+        sh = NamedSharding(self.mesh, spec)
+        if jax.process_count() > 1:
+            return tuple(
+                jax.make_array_from_callback(
+                    a.shape, sh, lambda idx, a=np.asarray(a): a[idx]
+                )
+                for a in arrays
+            )
+        return jax.device_put(arrays, sh)
+
+    def _gather_for_save(self, tree):
+        """Node-sharded state is not host-addressable under multi-host;
+        allgather it before checkpoint serialization (no-op otherwise)."""
+        if tree is not None and self.mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(tree, tiled=True)
+        return tree
+
+    def _place_repl(self, x):
+        """Replicate a host/default-device value over the mesh (no-op without)."""
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, self._repl)
+
+    def _host_probs(self, probs):
+        """Batch probabilities as host numpy (allgather under multi-host)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            probs = multihost_utils.process_allgather(probs, tiled=True)
+        return np.asarray(probs[0]), np.asarray(probs[1])
 
     def _pad_negs(self, neg: np.ndarray, b: Batch) -> np.ndarray:
         out = np.zeros(len(b.src), dtype=np.int64)
@@ -262,10 +401,40 @@ class LinkPredictionTrainer:
             out[len(neg):] = neg[-1] if len(neg) else 0
         return out
 
+    def _pick_bucket(self, csr, b: Batch, neg_src, neg_dst) -> int | None:
+        """Smallest static sequence bucket covering this batch's histories.
+
+        Host-side equivalent of the reference's per-batch dynamic padding
+        (DyGFormer.py:219-226): the longest strictly-before history over all
+        4B query nodes, +1 for the prepended target, rounded up to the next
+        bucket. Returns None when bucketing is off or the full length is
+        needed (None == the default maxlen specialization).
+        """
+        if not self._buckets:
+            return None
+        key = id(csr)
+        if key not in self._host_hist:
+            self._host_hist[key] = (np.asarray(csr.offsets), np.asarray(csr.ts))
+        offsets, tsarr = self._host_hist[key]
+        tk = time_keys(b.ts)
+        mx = 0
+        cap = self._buckets[-1] - 1  # counts beyond maxlen-1 are truncated
+        for ids in (b.src, b.dst, neg_src, neg_dst):
+            for n, t in zip(ids, tk):
+                lo, hi = int(offsets[n]), int(offsets[n + 1])
+                c = int(np.searchsorted(tsarr[lo:hi], t, side="left"))
+                if c > mx:
+                    mx = c
+                    if mx >= cap:
+                        return None
+        needed = 1 + mx
+        bucket = next(c for c in self._buckets if c >= needed)
+        return None if bucket == self._buckets[-1] else bucket
+
     def _batch_metrics(self, probs, batch: Batch):
         n = batch.num_valid
-        pos = np.asarray(probs[0])[:n]
-        neg = np.asarray(probs[1])[:n]
+        pos, neg = self._host_probs(probs)
+        pos, neg = pos[:n], neg[:n]
         predicts = np.concatenate([pos, neg])
         labels = np.concatenate([np.ones(n), np.zeros(n)])
         return link_prediction_metrics(predicts, labels)
@@ -282,9 +451,12 @@ class LinkPredictionTrainer:
                 continue
             neg_dst = self._pad_negs(neg_dst, b)
             arrays = self._batch_arrays(b, b.src, neg_dst)
-            key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
+            key = self._place_repl(
+                jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
+            )
+            bucket = self._pick_bucket(self.train_csr, b, b.src, neg_dst)
             params, opt_state, state, loss, probs = self.train_step(
-                params, opt_state, state, self.train_csr, arrays, key
+                params, opt_state, state, self.train_csr, arrays, key, bucket
             )
             losses.append(float(loss))
             metrics.append(self._batch_metrics(probs, b))
@@ -323,9 +495,13 @@ class LinkPredictionTrainer:
             batches.append(self._batch_arrays(b, b.src, self._pad_negs(neg_dst, b)))
             metas.append(b)
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
-        keys = jax.vmap(
-            lambda i: jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
-        )(jnp.arange(len(batches)))
+        # scan-stacked arrays are (T, B, ...): shard the BATCH axis (axis 1)
+        stacked = self._place_batch(stacked, spec_rank=1)
+        keys = self._place_repl(
+            jax.vmap(
+                lambda i: jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
+            )(jnp.arange(len(batches)))
+        )
         params, opt_state, state, losses, probs = self.train_epoch_scan_fn(
             params, opt_state, state, self.train_csr, stacked, keys
         )
@@ -367,11 +543,12 @@ class LinkPredictionTrainer:
                 )
             else:
                 neg_src, neg_dst = neg_sampler.sample(n)
-            arrays = self._batch_arrays(
-                b, self._pad_negs(neg_src, b), self._pad_negs(neg_dst, b)
-            )
+            ns, nd = self._pad_negs(neg_src, b), self._pad_negs(neg_dst, b)
+            arrays = self._batch_arrays(b, ns, nd)
+            bucket = self._pick_bucket(self.full_csr, b, ns, nd)
             loss, probs, state = self.eval_step(
-                params, state, self.full_csr, arrays, jax.random.fold_in(key, i)
+                params, state, self.full_csr, arrays,
+                self._place_repl(jax.random.fold_in(key, i)), bucket,
             )
             losses.append(float(loss))
             metrics.append(self._batch_metrics(probs, b))
@@ -403,11 +580,12 @@ class LinkPredictionTrainer:
         resume_state = None
         if resume and os.path.exists(self.save_path + ".resume"):
             ck = load_checkpoint(self.save_path + ".resume")
-            params = jax.device_put(ck["params"])
+            params = self._place_repl(jax.device_put(ck["params"]))
             resume_state = (
-                jax.device_put(ck["state"]) if ck["state"] is not None else None
+                self._place_state(jax.device_put(ck["state"]))
+                if ck["state"] is not None else None
             )
-            opt_state = jax.device_put(ck["extra"]["opt_state"])
+            opt_state = self._place_repl(jax.device_put(ck["extra"]["opt_state"]))
             start_epoch = ck["extra"]["epoch"]
             start_batch = ck["extra"]["next_batch"]
             early.best = dict(ck["extra"].get("early_best", {}))
@@ -465,14 +643,15 @@ class LinkPredictionTrainer:
                 )
                 log(f"  test {self.mean_metrics(test_metrics)}")
             # checkpoint stores params + post-val memory (EarlyStopping.py:65-74)
-            if early.step(mv, params, val_state):
+            if early.step(mv, params, self._gather_for_save(val_state)):
                 log(f"early stop at epoch {epoch + 1}")
                 break
 
         best = early.load_best()
-        params = jax.device_put(best["params"])
+        params = self._place_repl(jax.device_put(best["params"]))
         val_state = (
-            jax.device_put(best["state"]) if best["state"] is not None else None
+            self._place_state(jax.device_put(best["state"]))
+            if best["state"] is not None else None
         )
 
         results: dict = {}

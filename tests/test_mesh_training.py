@@ -1,0 +1,108 @@
+"""SPMD training over a device mesh matches single-device training.
+
+Runs on the 8-virtual-CPU-device mesh from conftest. The mesh path shards
+batches over the data axis, feature tables over the model axis, and memory
+state over nodes; results must match the unsharded path up to f32
+reduction-order noise.
+"""
+import jax
+import numpy as np
+import pytest
+
+from dyglib_tpu.models import DyGFormer, MemoryModel
+from dyglib_tpu.parallel.mesh import make_mesh
+from dyglib_tpu.train import LinkPredictionTrainer, TrainConfig
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _losses(backbone_fn, link_data, tmp_path, mesh, tag, n_batches=4):
+    from dyglib_tpu.graph import NegativeEdgeSampler
+
+    cfg = TrainConfig(batch_size=200, num_epochs=1, learning_rate=1e-3)
+    tr = LinkPredictionTrainer(
+        backbone_fn(), link_data, cfg, str(tmp_path / f"{tag}.pkl"), mesh=mesh
+    )
+    tr.train_neg = NegativeEdgeSampler(
+        link_data.train.src, link_data.train.dst, seed=3
+    )
+    params, opt_state = tr.init_params(0)
+    params, opt_state, state, losses, _ = tr.train_epoch(
+        params, opt_state, tr.init_state(), 0, jax.random.PRNGKey(0)
+    )
+    _, val_metrics, _ = tr.evaluate(params, link_data.val, tr.val_neg, 0, state=state)
+    return losses, tr.mean_metrics(val_metrics), state
+
+
+def test_dygformer_mesh_matches_single(link_data, tmp_path):
+    mk = lambda: DyGFormer(
+        max_input_sequence_length=16, patch_size=2, num_layers=1
+    )
+    l1, m1, _ = _losses(mk, link_data, tmp_path, None, "single")
+    l8, m8, _ = _losses(mk, link_data, tmp_path, make_mesh(8, 2), "mesh")
+    np.testing.assert_allclose(l1, l8, rtol=2e-3, atol=2e-4)
+    assert abs(m1["average_precision"] - m8["average_precision"]) < 5e-3
+
+
+def test_memory_model_mesh_matches_single(link_data, tmp_path):
+    """Training losses match across the epoch; the exact-state check runs
+    under FIXED params (eval sweep) because training-path params drift by
+    f32-reduction-order Adam noise, and the memory chain amplifies any param
+    delta through cos(W*dt) with dt ~ 1e4 — not a sharding defect."""
+    mk = lambda: MemoryModel(model_name="TGN", num_neighbors=4, num_layers=1)
+    l1, m1, _ = _losses(mk, link_data, tmp_path, None, "single")
+    l8, m8, _ = _losses(mk, link_data, tmp_path, make_mesh(8, 1), "mesh")
+    np.testing.assert_allclose(l1, l8, rtol=2e-3, atol=2e-4)
+
+
+def test_memory_state_chain_exact_under_mesh(link_data, tmp_path):
+    """With fixed params, the committed memory/message chain over several
+    batches is bit-near-exact between mesh and single-device execution —
+    the guard for the SPMD scatter-partitioning hazard (commit must run
+    outside autodiff, see memory_model.forward_and_maybe_commit)."""
+    import jax.numpy as jnp
+
+    from dyglib_tpu.data.batching import chronological_batches
+    from dyglib_tpu.graph import NegativeEdgeSampler
+
+    def chain(mesh):
+        cfg = TrainConfig(batch_size=200, num_epochs=1)
+        tr = LinkPredictionTrainer(
+            MemoryModel(model_name="TGN", num_neighbors=4, num_layers=1),
+            link_data, cfg, str(tmp_path / "chain.pkl"), mesh=mesh,
+        )
+        tr.train_neg = NegativeEdgeSampler(
+            link_data.train.src, link_data.train.dst, seed=3
+        )
+        params, _ = tr.init_params(0)
+        state = tr.init_state()
+        for i, b in enumerate(chronological_batches(link_data.train, 200)):
+            if i >= 5:
+                break
+            _, neg_dst = tr.train_neg.sample(b.num_valid)
+            arrays = tr._batch_arrays(b, b.src, tr._pad_negs(neg_dst, b))
+            key = tr._place_repl(jax.random.fold_in(jax.random.PRNGKey(0), i))
+            _, _, state = tr.eval_step(params, state, tr.train_csr, arrays, key)
+        return np.asarray(state.memory), np.asarray(state.msg)
+
+    m1, g1 = chain(None)
+    m8, g8 = chain(make_mesh(8, 1))
+    np.testing.assert_allclose(m1, m8, atol=1e-5)
+    np.testing.assert_allclose(g1, g8, atol=1e-5)
+
+
+def test_mesh_scan_epoch(link_data, tmp_path):
+    """Scan-epoch mode under the mesh: batch axis (axis 1) sharded."""
+    cfg = TrainConfig(batch_size=200, num_epochs=1, scan_epochs=True)
+    tr = LinkPredictionTrainer(
+        DyGFormer(max_input_sequence_length=16, patch_size=2, num_layers=1),
+        link_data, cfg, str(tmp_path / "scan.pkl"), mesh=make_mesh(8, 2),
+    )
+    params, opt_state = tr.init_params(0)
+    params, opt_state, _, losses, _ = tr.train_epoch_scanned(
+        params, opt_state, None, 0, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(losses).all()
