@@ -90,6 +90,11 @@ def _common_args(parser: argparse.ArgumentParser) -> None:
         choices=["float32", "bfloat16"],
         help="MXU compute dtype for backbones that support it",
     )
+    parser.add_argument(
+        "--fast_prng", action="store_true", default=False,
+        help="hardware RBG PRNG for dropout masks (deterministic per seed; "
+        "~37%% faster train steps at the DyGFormer operating point)",
+    )
 
 
 def get_link_prediction_args(

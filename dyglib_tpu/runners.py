@@ -76,6 +76,10 @@ def setup_parallelism(args):
     """
     from .parallel.distributed import initialize_distributed
 
+    if getattr(args, "fast_prng", False):
+        from .utils import use_fast_prng
+
+        use_fast_prng()
     num_procs = getattr(args, "num_processes", 1)
     proc_idx, _ = initialize_distributed(
         coordinator_address=getattr(args, "coordinator_address", "") or None,

@@ -18,12 +18,14 @@ class EarlyStopping:
         patience: int,
         save_path: str,
         higher_better: dict[str, bool] | None = None,
+        checkpoint_backend: str = "pickle",
     ):
         self.patience = patience
         self.counter = 0
         self.best: dict[str, float] = {}
         self.save_path = save_path
         self.higher_better = higher_better or {}
+        self.checkpoint_backend = checkpoint_backend
 
     def step(
         self, metrics: dict[str, float], params: Any, state: Any = None
@@ -39,7 +41,9 @@ class EarlyStopping:
             for name, value in metrics.items():
                 hb = self.higher_better.get(name, True)
                 self.best[name] = value if hb else -value
-            save_checkpoint(self.save_path, params, state)
+            save_checkpoint(
+                self.save_path, params, state, backend=self.checkpoint_backend
+            )
             self.counter = 0
         else:
             self.counter += 1

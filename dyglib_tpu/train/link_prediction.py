@@ -76,6 +76,8 @@ class TrainConfig:
     # — the TPU-native analogue of the reference's per-batch dynamic padding
     # (DyGFormer.py:219-226). One jit specialization per bucket.
     sequence_buckets: bool = True
+    checkpoint_backend: str = "pickle"  # or "orbax" (directory checkpoints)
+    tensorboard_dir: str = ""  # non-empty: scalar event stream per epoch
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -571,8 +573,16 @@ class LinkPredictionTrainer:
         """
         params, opt_state = self.init_params(seed)
         root_key = jax.random.PRNGKey(seed)
-        early = EarlyStopping(self.cfg.patience, self.save_path)
+        early = EarlyStopping(
+            self.cfg.patience, self.save_path,
+            checkpoint_backend=self.cfg.checkpoint_backend,
+        )
         self._early = early
+        tb = None
+        if self.cfg.tensorboard_dir:
+            from ..utils.tensorboard import SummaryWriter
+
+            tb = SummaryWriter(self.cfg.tensorboard_dir)
         last_val_metrics: dict = {}
         last_nn_val_metrics: dict = {}
 
@@ -637,6 +647,21 @@ class LinkPredictionTrainer:
                 f"{last_nn_val_metrics.get('average_precision', 0):.4f} "
                 f"({dt:.1f}s, ~{n_train / max(dt, 1e-9):.0f} edges/s incl. eval)"
             )
+            if tb is not None:
+                tb.add_scalars(
+                    {
+                        "train/loss": float(np.mean(tr_losses)),
+                        "train/average_precision": self.mean_metrics(
+                            tr_metrics
+                        ).get("average_precision", 0.0),
+                        **{f"val/{k}": v for k, v in mv.items()},
+                        "new_node_val/average_precision":
+                            last_nn_val_metrics.get("average_precision", 0.0),
+                        "perf/epoch_seconds": dt,
+                        "perf/edges_per_second": n_train / max(dt, 1e-9),
+                    },
+                    step=epoch + 1,
+                )
             if (epoch + 1) % self.cfg.test_interval_epochs == 0:
                 _, test_metrics, _ = self.evaluate(
                     params, self.data.test, self.test_neg, 2, state=val_state

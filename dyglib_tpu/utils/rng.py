@@ -30,6 +30,22 @@ def batch_key(root: jax.Array, epoch: int, batch_idx: int) -> jax.Array:
     return jax.random.fold_in(jax.random.fold_in(root, epoch), batch_idx)
 
 
+def use_fast_prng() -> None:
+    """Switch JAX's default PRNG to the hardware RBG implementation.
+
+    Threefry (the default) generates dropout masks in software on the VPU;
+    at DyGFormer's operating point it costs ~36% of the whole train step on
+    a v5e (measured: 16.3k -> 25.5k edges/s with dropout off, 22.3k with
+    RBG). RBG uses the TPU's hardware random bit generator: runs remain
+    DETERMINISTIC for a fixed seed — the trade is key-derivation quality
+    (fold_in/split mix fewer bits), which dropout does not care about.
+    Call before building trainers; the CLI drivers expose --fast_prng.
+    """
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+
 def enable_compilation_cache(path: str = os.path.expanduser("~/.jax_cache")) -> None:
     """Persistent XLA compilation cache — critical on remote-compile TPU
     platforms where fresh compiles of large training-step graphs can take

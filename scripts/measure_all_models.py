@@ -1,0 +1,96 @@
+"""Fused-scan train-step timing for every trainable model family.
+
+Usage: python scripts/measure_all_models.py [B] [model ...]
+Defaults: B=200, all models. Synthetic Wikipedia-scale data; RBG PRNG.
+"""
+import sys, os, time, tempfile
+
+sys.path.insert(0, "/root/repo")
+import jax
+
+from dyglib_tpu.utils import enable_compilation_cache, use_fast_prng
+
+enable_compilation_cache()
+use_fast_prng()
+import jax.numpy as jnp
+
+from dyglib_tpu.data import get_link_prediction_data, write_synthetic_dataset
+from dyglib_tpu.graph.csr import time_keys
+from dyglib_tpu.models import (
+    CAWN, DyGFormer, GraphMixer, MemoryModel, TCL, TGAT,
+    compute_src_dst_node_time_shifts,
+)
+from dyglib_tpu.train import LinkPredictionTrainer, TrainConfig
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+ONLY = set(sys.argv[2:])
+root = os.path.join(tempfile.gettempdir(), "allmodels_ws")
+if not os.path.exists(os.path.join(root, "wiki")):
+    write_synthetic_dataset(root, "wiki", num_src=8227, num_dst=1000,
+                            num_edges=157474, seed=1)
+data = get_link_prediction_data("wiki", data_root=root)
+train = data.train
+keys_all = time_keys(train.ts)
+shifts = compute_src_dst_node_time_shifts(train.src, train.dst, train.ts)
+
+BACKBONES = {
+    # reference-default operating points (load_configs.py defaults)
+    "TGAT": lambda: TGAT(num_neighbors=20, num_layers=2),
+    "TGN": lambda: MemoryModel(model_name="TGN", num_neighbors=10,
+                               num_layers=1, time_shifts=shifts),
+    "DyRep": lambda: MemoryModel(model_name="DyRep", num_neighbors=10,
+                                 num_layers=1, time_shifts=shifts),
+    "JODIE": lambda: MemoryModel(model_name="JODIE", time_shifts=shifts),
+    "TCL": lambda: TCL(num_neighbors=20, num_layers=2),
+    "GraphMixer": lambda: GraphMixer(num_neighbors=20, num_layers=2),
+    "DyGFormer": lambda: DyGFormer(max_input_sequence_length=32, patch_size=1,
+                                   num_layers=2),
+    "CAWN": lambda: CAWN(num_neighbors=32, walk_length=1, num_walk_heads=8),
+}
+
+
+def measure(name, make, n_scan=32):
+    tr = LinkPredictionTrainer(
+        make(), data, TrainConfig(batch_size=B), os.path.join(root, "ck.pkl")
+    )
+    params, opt_state = tr.init_params(0)
+    state = tr.init_state()
+
+    def batch_at(s):
+        s = s % (train.num_interactions - B)
+        return (
+            jnp.asarray(train.src[s:s+B], jnp.int32),
+            jnp.asarray(train.dst[s:s+B], jnp.int32),
+            jnp.asarray(train.src[s:s+B], jnp.int32),
+            jnp.asarray(train.dst[::-1][s:s+B], jnp.int32),
+            jnp.asarray(keys_all[s:s+B], jnp.int32),
+            jnp.asarray(train.eid[s:s+B], jnp.int32),
+            jnp.ones((B,), jnp.float32),
+        )
+
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[batch_at(i * B) for i in range(n_scan)]
+    )
+    keys = jax.vmap(
+        lambda i: jax.random.fold_in(jax.random.PRNGKey(0), i)
+    )(jnp.arange(n_scan))
+    t_c = time.time()
+    out = tr.train_epoch_scan_fn(params, opt_state, state, tr.train_csr,
+                                 stacked, keys)
+    jax.block_until_ready(out[3])
+    compile_s = time.time() - t_c
+    t0 = time.time()
+    out = tr.train_epoch_scan_fn(*out[:3], tr.train_csr, stacked, keys)
+    jax.block_until_ready(out[3])
+    dt = (time.time() - t0) / n_scan
+    print(f"{name:>10}: {dt*1e3:7.2f} ms/step | {B/dt:8.0f} edges/s "
+          f"(compile+first {compile_s:.0f}s)", flush=True)
+
+
+for name, make in BACKBONES.items():
+    if ONLY and name not in ONLY:
+        continue
+    try:
+        measure(name, make)
+    except Exception as e:  # keep the sweep alive; report the failure
+        print(f"{name:>10}: FAILED {type(e).__name__}: {e}", flush=True)
