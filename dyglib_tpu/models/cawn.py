@@ -88,6 +88,44 @@ class BiLSTMEncoder(nn.Module):
         return jnp.concatenate([h_fwd, h_bwd], axis=-1)
 
 
+def walk_position_counts(
+    walk_ids: jnp.ndarray, hop_ids: tuple, num_nodes: int
+) -> jnp.ndarray:
+    """Landing-probability counts for every walk entry -> (4B, W, L+1, 2, L+1).
+
+    Cell [..., s, h] = (occurrences of the entry's node at hop h of side s's
+    occurrence tree) / K^h — the reference PositionEncoder's dict of
+    "{batch_idx}-{node_id}" keys accumulating 1/num_neighbors_at_hop per
+    visit over the src- and dst-rooted trees (CAWN.py:197-289), as a
+    sorted-key searchsorted join (multiplicity = right - left insertion).
+    Pad entries (node id 0) are zeroed.
+    """
+    m, w, lp1 = walk_ids.shape
+    b = m // 4
+    n_pairs = 2 * b
+    li = jnp.concatenate([jnp.arange(b), jnp.arange(2 * b, 3 * b)])
+    ri = jnp.concatenate([jnp.arange(b, 2 * b), jnp.arange(3 * b, 4 * b)])
+    pair_of_quad = jnp.zeros((m,), jnp.int32)
+    pair_of_quad = pair_of_quad.at[li].set(jnp.arange(n_pairs, dtype=jnp.int32))
+    pair_of_quad = pair_of_quad.at[ri].set(jnp.arange(n_pairs, dtype=jnp.int32))
+
+    counts = jnp.zeros((m, w, lp1, 2, lp1), jnp.float32)
+    # key = pair_row * num_nodes + node_id (int32; asserted in adapter)
+    q_keys = pair_of_quad[:, None, None] * num_nodes + walk_ids  # (4B, W, L+1)
+    for s, side_rows in enumerate((li, ri)):
+        pair_ids = jnp.arange(n_pairs, dtype=jnp.int32)
+        for h in range(lp1):
+            occ = hop_ids[h][side_rows]  # (2B, K^h)
+            occ_keys = jnp.sort(
+                (pair_ids[:, None] * num_nodes + occ).reshape(-1)
+            )
+            left = jnp.searchsorted(occ_keys, q_keys, side="left")
+            right = jnp.searchsorted(occ_keys, q_keys, side="right")
+            c = (right - left).astype(jnp.float32) / occ.shape[1]
+            counts = counts.at[:, :, :, s, h].set(c)
+    return jnp.where((walk_ids != 0)[..., None, None], counts, 0.0)
+
+
 class CAWNNet(nn.Module):
     time_feat_dim: int = 100
     position_feat_dim: int = 172
@@ -100,35 +138,8 @@ class CAWNNet(nn.Module):
         self, tables: FeatureTables, inputs: CAWNInputs, *, train: bool = False
     ) -> jnp.ndarray:
         m, w, lp1 = inputs.walk_ids.shape
-        b = m // 4
-        n_pairs = 2 * b
-        li = jnp.concatenate([jnp.arange(b), jnp.arange(2 * b, 3 * b)])
-        ri = jnp.concatenate([jnp.arange(b, 2 * b), jnp.arange(3 * b, 4 * b)])
-
-        # ---- position counts via sorted-key joins
-        # key = pair_row * num_nodes + node_id (int32; asserted in adapter)
-        nk = tables.node.shape[0]
-        pair_of_quad = jnp.zeros((m,), jnp.int32)
-        pair_of_quad = pair_of_quad.at[li].set(jnp.arange(n_pairs, dtype=jnp.int32))
-        pair_of_quad = pair_of_quad.at[ri].set(jnp.arange(n_pairs, dtype=jnp.int32))
-
-        counts = jnp.zeros((m, w, lp1, 2, lp1), jnp.float32)
-        q_keys = (
-            pair_of_quad[:, None, None] * nk + inputs.walk_ids
-        )  # (4B, W, L+1)
-        for s, side_rows in enumerate((li, ri)):
-            pair_ids = jnp.arange(n_pairs, dtype=jnp.int32)
-            for h in range(lp1):
-                occ = inputs.hop_ids[h][side_rows]  # (2B, K^h)
-                occ_keys = jnp.sort(
-                    (pair_ids[:, None] * nk + occ).reshape(-1)
-                )
-                left = jnp.searchsorted(occ_keys, q_keys, side="left")
-                right = jnp.searchsorted(occ_keys, q_keys, side="right")
-                c = (right - left).astype(jnp.float32) / occ.shape[1]
-                counts = counts.at[:, :, :, s, h].set(c)
-        counts = jnp.where(
-            (inputs.walk_ids != 0)[..., None, None], counts, 0.0
+        counts = walk_position_counts(
+            inputs.walk_ids, inputs.hop_ids, tables.node.shape[0]
         )
 
         pos_fc1 = nn.Dense(self.position_feat_dim, name="position_fc1")

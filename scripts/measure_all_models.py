@@ -75,13 +75,16 @@ def measure(name, make, n_scan=32):
         lambda i: jax.random.fold_in(jax.random.PRNGKey(0), i)
     )(jnp.arange(n_scan))
     t_c = time.time()
-    out = tr.train_epoch_scan_fn(params, opt_state, state, tr.train_csr,
-                                 stacked, keys)
-    jax.block_until_ready(out[3])
+    out = (params, opt_state, state)
+    # TWO warmups: compile, then the donation-layout respecialization
+    for _ in range(2):
+        res = tr.train_epoch_scan_fn(*out, tr.train_csr, stacked, keys)
+        jax.block_until_ready(res[3])
+        out = res[:3]
     compile_s = time.time() - t_c
     t0 = time.time()
-    out = tr.train_epoch_scan_fn(*out[:3], tr.train_csr, stacked, keys)
-    jax.block_until_ready(out[3])
+    res = tr.train_epoch_scan_fn(*out, tr.train_csr, stacked, keys)
+    jax.block_until_ready(res[3])
     dt = (time.time() - t0) / n_scan
     print(f"{name:>10}: {dt*1e3:7.2f} ms/step | {B/dt:8.0f} edges/s "
           f"(compile+first {compile_s:.0f}s)", flush=True)

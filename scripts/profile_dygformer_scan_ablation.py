@@ -54,11 +54,14 @@ def measure(backbone, label, n_scan=64):
     keys = jax.vmap(
         lambda i: jax.random.fold_in(jax.random.PRNGKey(0), i)
     )(jnp.arange(n_scan))
-    out = tr.train_epoch_scan_fn(params, opt_state, None, tr.train_csr, stacked, keys)
-    jax.block_until_ready(out[3])
+    out = (params, opt_state, None)
+    for _ in range(2):  # compile + donation-layout respecialization
+        res = tr.train_epoch_scan_fn(*out, tr.train_csr, stacked, keys)
+        jax.block_until_ready(res[3])
+        out = res[:3]
     t0 = time.time()
-    out = tr.train_epoch_scan_fn(*out[:3], tr.train_csr, stacked, keys)
-    jax.block_until_ready(out[3])
+    res = tr.train_epoch_scan_fn(*out, tr.train_csr, stacked, keys)
+    jax.block_until_ready(res[3])
     dt = (time.time() - t0) / n_scan
     print(f"{label}: {dt*1e3:.2f} ms/step | {B/dt:.0f} edges/s", flush=True)
 

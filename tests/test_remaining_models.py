@@ -106,3 +106,58 @@ def test_edgebank_modes(link_data):
     labels = np.r_[np.ones(300), np.zeros(300)]
     preds = np.r_[pp, np_]
     assert average_precision(labels, preds) > 0.55
+
+
+def test_cawn_position_counts_oracle(link_data):
+    """walk_position_counts == the reference PositionEncoder's dict counting
+    (CAWN.py:197-289): occurrences of each walk entry's node at hop h of
+    each side's tree, divided by the hop's table width."""
+    from collections import Counter
+
+    import jax
+    import jax.numpy as jnp
+
+    from dyglib_tpu.graph import build_temporal_csr
+    from dyglib_tpu.graph.csr import time_keys
+    from dyglib_tpu.models.cawn import CAWN, walk_position_counts
+
+    csr = build_temporal_csr(
+        link_data.full, num_nodes=link_data.num_nodes,
+        time_scaling_factor=1e-6, with_tia=True,
+    )
+    m = CAWN(num_neighbors=4, walk_length=2)
+    tr = link_data.train
+    b = 6
+    ids = jnp.asarray(
+        np.concatenate([tr.src[:b], tr.dst[:b], tr.src[b:2*b], tr.dst[b:2*b]]),
+        jnp.int32,
+    )
+    ts = jnp.tile(jnp.asarray(time_keys(tr.ts[200:200 + b]), jnp.int32), 4)
+    inputs = m.sample(csr, ids, ts, jax.random.PRNGKey(3))
+
+    ours = np.asarray(
+        walk_position_counts(inputs.walk_ids, inputs.hop_ids, link_data.num_nodes)
+    )
+
+    walk_ids = np.asarray(inputs.walk_ids)
+    hop_ids = [np.asarray(h) for h in inputs.hop_ids]
+    mq, w, lp1 = walk_ids.shape
+    li = list(range(b)) + list(range(2 * b, 3 * b))
+    ri = list(range(b, 2 * b)) + list(range(3 * b, 4 * b))
+    pair_rows = {}
+    for pidx, (l, r) in enumerate(zip(li, ri)):
+        pair_rows[l] = (l, r)
+        pair_rows[r] = (l, r)
+    expected = np.zeros_like(ours)
+    for q in range(mq):
+        lrow, rrow = pair_rows[q]
+        for s, row in enumerate((lrow, rrow)):
+            for h in range(lp1):
+                occ = hop_ids[h][row]
+                cnt = Counter(occ.tolist())
+                for wi in range(w):
+                    for st in range(lp1):
+                        n = int(walk_ids[q, wi, st])
+                        if n != 0:
+                            expected[q, wi, st, s, h] = cnt.get(n, 0) / len(occ)
+    np.testing.assert_allclose(ours, expected, atol=1e-6)
