@@ -107,7 +107,7 @@ def main(model_name: str = "dygformer"):
 
     # ---- fused scan window (scan-epoch mode): one program, no per-step
     # host dispatch on the measured path
-    n_scan = 64
+    n_scan = 128  # one host dispatch amortized over the whole window
     starts = [(3 + i) * b % (train.num_interactions - b) for i in range(n_scan)]
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[batch_at(s) for s in starts]

@@ -67,23 +67,35 @@ def build_temporal_csr(
     if num_nodes is None:
         num_nodes = int(max(stream.src.max(), stream.dst.max())) + 1
 
-    e = stream.num_interactions
-    node = np.empty(2 * e, dtype=np.int64)
-    peer = np.empty(2 * e, dtype=np.int64)
-    eid = np.empty(2 * e, dtype=np.int64)
-    ts = np.empty(2 * e, dtype=np.float64)
-    # interleave so per-edge append order (src entry, then dst entry) survives
-    node[0::2], node[1::2] = stream.src, stream.dst
-    peer[0::2], peer[1::2] = stream.dst, stream.src
-    eid[0::2] = eid[1::2] = stream.eid
-    ts[0::2] = ts[1::2] = stream.ts
+    # native tier: O(E) single-pass counting sort (dyglib_tpu/native);
+    # falls back to the numpy interleave + stable argsort (O(E log E))
+    # when no host toolchain is available — identical output either way
+    # (tests/test_native_csr.py)
+    from ..native import build_temporal_csr_native
 
-    order = np.argsort(node, kind="stable")  # keeps chronological order per node
-    node, peer, eid, ts = node[order], peer[order], eid[order], ts[order]
+    native = build_temporal_csr_native(
+        stream.src, stream.dst, stream.eid, stream.ts, num_nodes
+    )
+    if native is not None:
+        offsets, peer, eid, ts = native
+    else:
+        e = stream.num_interactions
+        node = np.empty(2 * e, dtype=np.int64)
+        peer = np.empty(2 * e, dtype=np.int64)
+        eid = np.empty(2 * e, dtype=np.int64)
+        ts = np.empty(2 * e, dtype=np.float64)
+        # interleave so per-edge append order (src, then dst entry) survives
+        node[0::2], node[1::2] = stream.src, stream.dst
+        peer[0::2], peer[1::2] = stream.dst, stream.src
+        eid[0::2] = eid[1::2] = stream.eid
+        ts[0::2] = ts[1::2] = stream.ts
 
-    counts = np.bincount(node, minlength=num_nodes)
-    offsets = np.zeros(num_nodes + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
+        order = np.argsort(node, kind="stable")  # chronological per node
+        peer, eid, ts = peer[order], eid[order], ts[order]
+
+        counts = np.bincount(node, minlength=num_nodes)
+        offsets = np.zeros(num_nodes + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
 
     tia_cew = None
     if with_tia:

@@ -259,6 +259,22 @@ class LinkPredictionTrainer:
             )
             return loss, probs, new_state
 
+        def eval_scan(params, state, csr, stacked_batches, keys):
+            """Whole evaluation sweep as one lax.scan program — removes the
+            per-batch host dispatch (the dominant eval cost when the device
+            is reached through a network tunnel). State (memory models)
+            threads through the scan exactly like the per-batch loop."""
+
+            def body(state, inp):
+                batch, key = inp
+                loss, probs, state = eval_step(params, state, csr, batch, key)
+                return state, (loss, probs)
+
+            state, (losses, probs) = jax.lax.scan(
+                body, state, (stacked_batches, keys)
+            )
+            return losses, probs, state
+
         def train_epoch_scan(params, opt_state, state, csr, stacked_batches, keys):
             """Whole epoch as one lax.scan — removes per-batch host dispatch
             (valuable when the dispatch path, not the chip, is the
@@ -288,6 +304,7 @@ class LinkPredictionTrainer:
             train_step, donate_argnums=(0, 1, 2), static_argnums=(6,)
         )
         self.eval_step = jax.jit(eval_step, static_argnums=(5,))
+        self.eval_scan_fn = jax.jit(eval_scan)
         self.train_epoch_scan_fn = jax.jit(train_epoch_scan, donate_argnums=(0, 1, 2))
 
     # ----------------------------------------------------------------- setup
@@ -390,7 +407,10 @@ class LinkPredictionTrainer:
 
     def _host_probs(self, probs):
         """Batch probabilities as host numpy (allgather under multi-host)."""
-        if self.mesh is not None and jax.process_count() > 1:
+        if (
+            isinstance(probs[0], jax.Array)
+            and not probs[0].is_fully_addressable
+        ):
             from jax.experimental import multihost_utils
 
             probs = multihost_utils.process_allgather(probs, tiled=True)
@@ -522,18 +542,27 @@ class LinkPredictionTrainer:
         neg_sampler: NegativeEdgeSampler,
         eval_key_salt: int = 0,
         state=None,
+        scanned: bool | None = None,
     ):
         """One sweep over a split (evaluate_models_utils.py:19-154).
 
         Returns (losses, metrics, final_state); positive edges update
         memory state along the sweep (memory models).
+
+        ``scanned`` fuses the whole sweep into one lax.scan program (no
+        per-batch host dispatch); defaults to cfg.scan_epochs unless the
+        backbone uses sequence buckets (per-batch static shapes). Batch
+        staging, negative draws, keys, metrics, and state threading are
+        identical in both modes (tests/test_scan_epoch.py).
         """
         if stream.num_interactions == 0:
             return [], [], state
+        if scanned is None:
+            scanned = self.cfg.scan_epochs and not self._buckets
         neg_sampler.reset_random_state()
-        losses, metrics = [], []
         key = jax.random.PRNGKey(12345 + eval_key_salt)
-        for i, b in enumerate(chronological_batches(stream, self.cfg.batch_size)):
+        metas, arrays_list, buckets = [], [], []
+        for b in chronological_batches(stream, self.cfg.batch_size):
             n = b.num_valid
             if neg_sampler.negative_sample_strategy != "random":
                 neg_src, neg_dst = neg_sampler.sample(
@@ -546,14 +575,42 @@ class LinkPredictionTrainer:
             else:
                 neg_src, neg_dst = neg_sampler.sample(n)
             ns, nd = self._pad_negs(neg_src, b), self._pad_negs(neg_dst, b)
-            arrays = self._batch_arrays(b, ns, nd)
-            bucket = self._pick_bucket(self.full_csr, b, ns, nd)
-            loss, probs, state = self.eval_step(
-                params, state, self.full_csr, arrays,
-                self._place_repl(jax.random.fold_in(key, i)), bucket,
+            metas.append(b)
+            arrays_list.append(self._batch_arrays(b, ns, nd))
+            buckets.append(
+                None if scanned else self._pick_bucket(self.full_csr, b, ns, nd)
             )
-            losses.append(float(loss))
-            metrics.append(self._batch_metrics(probs, b))
+
+        losses, metrics = [], []
+        if scanned:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *arrays_list
+            )
+            stacked = self._place_batch(stacked, spec_rank=1)
+            keys = self._place_repl(
+                jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                    jnp.arange(len(metas))
+                )
+            )
+            loss_arr, probs, state = self.eval_scan_fn(
+                params, state, self.full_csr, stacked, keys
+            )
+            pos, neg = self._host_probs(probs)
+            losses = [float(x) for x in np.asarray(loss_arr)]
+            metrics = [
+                self._batch_metrics((pos[i], neg[i]), metas[i])
+                for i in range(len(metas))
+            ]
+        else:
+            for i, (b, arrays, bucket) in enumerate(
+                zip(metas, arrays_list, buckets)
+            ):
+                loss, probs, state = self.eval_step(
+                    params, state, self.full_csr, arrays,
+                    self._place_repl(jax.random.fold_in(key, i)), bucket,
+                )
+                losses.append(float(loss))
+                metrics.append(self._batch_metrics(probs, b))
         return losses, metrics, state
 
     @staticmethod

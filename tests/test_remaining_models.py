@@ -161,3 +161,40 @@ def test_cawn_position_counts_oracle(link_data):
                         if n != 0:
                             expected[q, wi, st, s, h] = cnt.get(n, 0) / len(occ)
     np.testing.assert_allclose(ours, expected, atol=1e-6)
+
+
+def test_cawn_position_counts_paths_agree(link_data):
+    """Equality-reduce fast path == sorted-join fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    from dyglib_tpu.graph import build_temporal_csr
+    from dyglib_tpu.graph.csr import time_keys
+    from dyglib_tpu.models.cawn import (
+        CAWN,
+        _walk_position_counts_join,
+        walk_position_counts,
+    )
+
+    csr = build_temporal_csr(
+        link_data.full, num_nodes=link_data.num_nodes,
+        time_scaling_factor=1e-6, with_tia=True,
+    )
+    m = CAWN(num_neighbors=5, walk_length=2)
+    tr = link_data.train
+    b = 4
+    ids = jnp.asarray(
+        np.concatenate([tr.src[:b], tr.dst[:b], tr.src[b:2*b], tr.dst[b:2*b]]),
+        jnp.int32,
+    )
+    ts = jnp.tile(jnp.asarray(time_keys(tr.ts[300:300 + b]), jnp.int32), 4)
+    inputs = m.sample(csr, ids, ts, jax.random.PRNGKey(9))
+    fast = walk_position_counts(inputs.walk_ids, inputs.hop_ids, link_data.num_nodes)
+    join = jnp.where(
+        (inputs.walk_ids != 0)[..., None, None],
+        _walk_position_counts_join(
+            inputs.walk_ids, inputs.hop_ids, link_data.num_nodes
+        ),
+        0.0,
+    )
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(join), atol=1e-6)

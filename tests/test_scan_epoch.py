@@ -57,3 +57,30 @@ def test_scan_epoch_memory_model(link_data, tmp_path):
     np.testing.assert_allclose(
         np.asarray(s1.memory), np.asarray(s2.memory), atol=1e-5
     )
+
+
+def test_eval_scan_matches_loop(link_data, tmp_path):
+    """Scanned evaluation sweep == per-batch loop: losses, metrics, state."""
+    for backbone, tag in (
+        (TGAT(num_neighbors=5, num_layers=1), "tgat"),
+        (MemoryModel(model_name="TGN", num_neighbors=5, num_layers=1), "tgn"),
+    ):
+        tr = _trainer(backbone, link_data, tmp_path, f"ev_{tag}.pkl")
+        params, _ = tr.init_params(0)
+        state0 = tr.init_state()
+
+        l1, m1, s1 = tr.evaluate(
+            params, link_data.val, tr.val_neg, 0, state=state0, scanned=False
+        )
+        state0 = tr.init_state()
+        l2, m2, s2 = tr.evaluate(
+            params, link_data.val, tr.val_neg, 0, state=state0, scanned=True
+        )
+        np.testing.assert_allclose(l1, l2, atol=1e-6)
+        for a, b in zip(m1, m2):
+            for k in a:
+                np.testing.assert_allclose(a[k], b[k], atol=1e-6)
+        if s1 is not None:
+            np.testing.assert_allclose(
+                np.asarray(s1.memory), np.asarray(s2.memory), atol=1e-6
+            )
