@@ -55,6 +55,7 @@ def build_backbone(args: argparse.Namespace, data: LinkPredictionData):
             time_feat_dim=args.time_feat_dim,
             position_feat_dim=args.position_feat_dim,
             sample_strategy=args.sample_neighbor_strategy,
+            compute_dtype=dtype,
         )
     if m == "TCL":
         return TCL(

@@ -62,18 +62,17 @@ def window_bounds(
     seg_hi = csr.offsets[node_ids + 1]
     t = times.astype(jnp.int32)
 
-    def body(_, carry):
-        lo_, hi_ = carry
+    # statically UNROLLED bisection (<= ~32 steps for int32 sizes): on TPU a
+    # lax.fori_loop of tiny bodies pays per-iteration loop sequencing that
+    # dominated CAWN's sampling time; straight-line ops fuse into a handful
+    # of kernels instead
+    lo_, hi_ = lo, seg_hi
+    for _ in range(_bisect_steps(csr.num_entries)):
         mid = (lo_ + hi_) >> 1
         below = csr.ts[jnp.clip(mid, 0, csr.num_entries - 1)] < t
         active = lo_ < hi_
         lo_ = jnp.where(active & below, mid + 1, lo_)
         hi_ = jnp.where(active & ~below, mid, hi_)
-        return lo_, hi_
-
-    lo_, hi_ = jax.lax.fori_loop(
-        0, _bisect_steps(csr.num_entries), body, (lo, seg_hi)
-    )
     return lo, hi_
 
 
@@ -157,22 +156,19 @@ def sample_time_interval_aware(
     u = jax.random.uniform(key_u, node_ids.shape + (k,))
     target = base[..., None] + u * total[..., None]
 
-    # first j in [lo, hi) with cew[j] > target
+    # first j in [lo, hi) with cew[j] > target — statically unrolled
+    # bisection (see window_bounds for why not fori_loop)
     lo_b = jnp.broadcast_to(lo[..., None], target.shape)
     hi_b = jnp.broadcast_to(hi[..., None], target.shape)
 
-    def body(_, carry):
-        lo_, hi_ = carry
+    lo_, hi_ = lo_b, hi_b
+    for _ in range(_bisect_steps(csr.num_entries)):
         mid = (lo_ + hi_) >> 1
         below = cew[jnp.clip(mid, 0, csr.num_entries - 1)] <= target
         active = lo_ < hi_
         lo_ = jnp.where(active & below, mid + 1, lo_)
         hi_ = jnp.where(active & ~below, mid, hi_)
-        return lo_, hi_
-
-    j, _ = jax.lax.fori_loop(
-        0, _bisect_steps(csr.num_entries), body, (lo_b, hi_b)
-    )
+    j = lo_
     idx = jnp.clip(j, lo_b, jnp.maximum(hi_b - 1, lo_b))
 
     fallback = lo[..., None] + jax.random.randint(

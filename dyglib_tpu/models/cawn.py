@@ -58,14 +58,16 @@ class BiLSTMEncoder(nn.Module):
     (CAWN.py:358-396). hidden_dim is split across the two directions."""
 
     hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
         """(M, T, D), (M,) valid lengths >= 1 -> (M, 2*(hidden_dim//2))."""
+        x = x.astype(self.dtype)
         m, t, _ = x.shape
         h1 = self.hidden_dim // 2
-        fwd = nn.LSTMCell(features=h1, name="fwd")
-        bwd = nn.LSTMCell(features=h1, name="bwd")
+        fwd = nn.LSTMCell(features=h1, dtype=self.dtype, name="fwd")
+        bwd = nn.LSTMCell(features=h1, dtype=self.dtype, name="bwd")
 
         carry = fwd.initialize_carry(jax.random.PRNGKey(0), (m, x.shape[-1]))
         outs = []
@@ -85,7 +87,7 @@ class BiLSTMEncoder(nn.Module):
         )[:, 0, :]
         carry_b = bwd.initialize_carry(jax.random.PRNGKey(0), (m, x.shape[-1]))
         _, h_bwd = bwd(carry_b, x_last)
-        return jnp.concatenate([h_fwd, h_bwd], axis=-1)
+        return jnp.concatenate([h_fwd, h_bwd], axis=-1).astype(jnp.float32)
 
 
 def walk_position_counts(
@@ -183,6 +185,7 @@ class CAWNNet(nn.Module):
     walk_length: int = 1
     num_walk_heads: int = 8
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32  # computation dtype; params stay float32
 
     @nn.compact
     def __call__(
@@ -193,9 +196,13 @@ class CAWNNet(nn.Module):
             inputs.walk_ids, inputs.hop_ids, tables.node.shape[0]
         )
 
-        pos_fc1 = nn.Dense(self.position_feat_dim, name="position_fc1")
-        pos_fc2 = nn.Dense(self.position_feat_dim, name="position_fc2")
-        pos_feat = pos_fc2(nn.relu(pos_fc1(counts))).sum(axis=-2)
+        pos_fc1 = nn.Dense(self.position_feat_dim, dtype=self.dtype,
+                           name="position_fc1")
+        pos_fc2 = nn.Dense(self.position_feat_dim, dtype=self.dtype,
+                           name="position_fc2")
+        pos_feat = pos_fc2(nn.relu(pos_fc1(counts.astype(self.dtype)))).sum(
+            axis=-2
+        ).astype(jnp.float32)
         # (4B, W, L+1, position_feat_dim)
 
         # ---- per-step walk features
@@ -215,15 +222,20 @@ class CAWNNet(nn.Module):
             attention_dim += self.num_walk_heads - attention_dim % self.num_walk_heads
 
         flat = lambda x: x.reshape(m * w, lp1, x.shape[-1])
-        feat_enc = BiLSTMEncoder(input_dim, name="feature_encoder")
-        pos_enc = BiLSTMEncoder(self.position_feat_dim, name="position_encoder")
+        feat_enc = BiLSTMEncoder(input_dim, dtype=self.dtype,
+                                 name="feature_encoder")
+        pos_enc = BiLSTMEncoder(self.position_feat_dim, dtype=self.dtype,
+                                name="position_encoder")
         enc_feat = feat_enc(flat(combined), lengths.reshape(-1)).reshape(m, w, -1)
         enc_pos = pos_enc(flat(pos_feat), lengths.reshape(-1)).reshape(m, w, -1)
         x = jnp.concatenate([enc_feat, enc_pos], axis=-1)
-        x = nn.Dense(attention_dim, name="projection_0")(x)
+        x = nn.Dense(attention_dim, dtype=self.dtype, name="projection_0")(
+            x.astype(self.dtype)
+        )
         x = TransformerEncoder(
-            attention_dim, self.num_walk_heads, self.dropout, name="walk_transformer"
-        )(x, train=train)
+            attention_dim, self.num_walk_heads, self.dropout,
+            dtype=self.dtype, name="walk_transformer",
+        )(x.astype(jnp.float32), train=train)
         x = x.mean(axis=-2)
         return nn.Dense(tables.node_dim, name="projection_1")(x)
 
@@ -239,6 +251,7 @@ class CAWN:
     time_feat_dim: int = 100
     position_feat_dim: int = 172
     sample_strategy: str = "time_interval_aware"
+    compute_dtype: str = "float32"  # "bfloat16" for MXU single-pass compute
     has_state: bool = False
 
     def __post_init__(self):
@@ -248,6 +261,7 @@ class CAWN:
             walk_length=self.walk_length,
             num_walk_heads=self.num_walk_heads,
             dropout=self.dropout,
+            dtype=jnp.dtype(self.compute_dtype),
         )
 
     def sample(

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.csr import TemporalCSR
-from ..graph.sampler import sample_neighbors, sample_recent
+from ..graph.sampler import sample_neighbors, window_bounds
 from ..nn.modules import LN_EPS, TimeEncoder
 from .base import FeatureTables
 
@@ -88,9 +88,17 @@ class GraphMixerInputs(NamedTuple):
     nbr_eids: jnp.ndarray  # (B, K) int32
     nbr_ts: jnp.ndarray  # (B, K) int32
     nbr_mask: jnp.ndarray  # (B, K) bool
-    tg_ids: jnp.ndarray  # (B, time_gap) int32
-    tg_mask: jnp.ndarray  # (B, time_gap) bool
     node_ids: jnp.ndarray  # (B,) int32
+    # node-encoder window, one of two layouts (fixed per model config):
+    #   gather mode: tg_ids/tg_mask are (B, time_gap), tg_sum/tg_cnt None
+    #   prefix mode: tg_sum (B, Dn) = window feature sum, tg_cnt (B,) =
+    #     window size, tg_ids/tg_mask None (O(1) per query via the CSR's
+    #     per-segment feature prefix sums instead of a (B, time_gap, Dn)
+    #     gather — numerically ~1e-6 of the gather, see csr.feat_prefix)
+    tg_ids: jnp.ndarray | None = None
+    tg_mask: jnp.ndarray | None = None
+    tg_sum: jnp.ndarray | None = None
+    tg_cnt: jnp.ndarray | None = None
 
 
 class GraphMixerNet(nn.Module):
@@ -126,11 +134,18 @@ class GraphMixerNet(nn.Module):
         link_feat = x.mean(axis=1)  # unmasked mean incl. pad rows (parity)
 
         # ---- node encoder: mean of valid neighbor raw feats / time_gap
-        tg_feats = tables.node[inputs.tg_ids]  # (B, G, Dn)
-        m = inputs.tg_mask[..., None].astype(jnp.float32)
-        n_valid = jnp.maximum(m.sum(axis=1), 1.0)
-        agg = (tg_feats * m).sum(axis=1) / n_valid / float(self.time_gap)
-        agg = jnp.where(inputs.tg_mask.any(axis=1)[:, None], agg, 0.0)
+        if inputs.tg_sum is not None:
+            cnt = inputs.tg_cnt.astype(jnp.float32)
+            agg = inputs.tg_sum / jnp.maximum(cnt, 1.0)[:, None] / float(
+                self.time_gap
+            )
+            agg = jnp.where((cnt > 0)[:, None], agg, 0.0)
+        else:
+            tg_feats = tables.node[inputs.tg_ids]  # (B, G, Dn)
+            m = inputs.tg_mask[..., None].astype(jnp.float32)
+            n_valid = jnp.maximum(m.sum(axis=1), 1.0)
+            agg = (tg_feats * m).sum(axis=1) / n_valid / float(self.time_gap)
+            agg = jnp.where(inputs.tg_mask.any(axis=1)[:, None], agg, 0.0)
         node_feat = agg + tables.node[inputs.node_ids]
 
         return nn.Dense(tables.node_dim, name="output_layer")(
@@ -151,6 +166,20 @@ class GraphMixer:
     time_gap: int = 2000
     sample_strategy: str = "recent"
     has_state: bool = False
+    # node-encoder aggregation: "prefix" uses the CSR's per-segment feature
+    # prefix sums (O(1) per query; requires the `recent` strategy, where the
+    # time_gap window is a contiguous CSR range); "gather" materializes the
+    # (B, time_gap, Dn) gather like the reference; "auto" picks prefix when
+    # available on the CSR
+    node_encoder_mode: str = "auto"  # "auto" | "prefix" | "gather"
+
+    @property
+    def wants_feat_prefix(self) -> bool:
+        """Trainer hint: build csr.feat_prefix for this backbone."""
+        return (
+            self.node_encoder_mode in ("auto", "prefix")
+            and self.sample_strategy == "recent"
+        )
 
     def __post_init__(self):
         self.module = GraphMixerNet(
@@ -169,22 +198,40 @@ class GraphMixer:
         blk = sample_neighbors(
             csr, ids, ts, self.num_neighbors, self.sample_strategy, key
         )
-        # node-encoder window: reference reuses get_historical_neighbors with
-        # num_neighbors=time_gap (GraphMixer.py:120-122) — always recent-K
-        # semantics are preserved for the strategies that matter here
-        tg = sample_neighbors(
-            csr, ids, ts, self.time_gap, self.sample_strategy,
-            None if key is None else jax.random.fold_in(key, 1),
-        )
-        return GraphMixerInputs(
+        common = dict(
             query_ts=ts.astype(jnp.int32),
             nbr_eids=blk.eid,
             nbr_ts=blk.ts,
             nbr_mask=blk.mask,
-            tg_ids=tg.nbr,
-            tg_mask=tg.mask,
             node_ids=ids.astype(jnp.int32),
         )
+        if self.wants_feat_prefix and csr.feat_prefix is not None:
+            # the `recent` time_gap window is the contiguous CSR range
+            # [max(lo, hi - time_gap), hi): its feature sum is a 2-row
+            # prefix-table read instead of a (B, time_gap, Dn) gather
+            lo, hi = window_bounds(csr, ids, ts)
+            lo2 = jnp.maximum(lo, hi - self.time_gap)
+            cnt = hi - lo2
+            top = csr.feat_prefix[jnp.maximum(hi - 1, 0)]
+            bot = jnp.where(
+                (lo2 > lo)[:, None],
+                csr.feat_prefix[jnp.maximum(lo2 - 1, 0)],
+                0.0,
+            )
+            tg_sum = jnp.where((cnt > 0)[:, None], top - bot, 0.0)
+            return GraphMixerInputs(**common, tg_sum=tg_sum, tg_cnt=cnt)
+        if self.node_encoder_mode == "prefix":
+            raise ValueError(
+                "node_encoder_mode='prefix' needs a CSR built with "
+                "feat_prefix_of=node_features and the 'recent' strategy"
+            )
+        # gather mode: reference reuses get_historical_neighbors with
+        # num_neighbors=time_gap (GraphMixer.py:120-122)
+        tg = sample_neighbors(
+            csr, ids, ts, self.time_gap, self.sample_strategy,
+            None if key is None else jax.random.fold_in(key, 1),
+        )
+        return GraphMixerInputs(**common, tg_ids=tg.nbr, tg_mask=tg.mask)
 
     def init(self, key: jax.Array, tables: FeatureTables, csr: TemporalCSR):
         ids = jnp.zeros((2,), jnp.int32)

@@ -169,6 +169,7 @@ class TransformerEncoder(nn.Module):
     attention_dim: int
     num_heads: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32  # computation dtype; params stay float32
 
     @nn.compact
     def __call__(
@@ -188,30 +189,34 @@ class TransformerEncoder(nn.Module):
         hd = d // self.num_heads
         b, tq, _ = inputs_query.shape
         tk = inputs_key.shape[1]
+        dense = lambda dd, name: nn.Dense(dd, dtype=self.dtype, name=name)
 
-        q = nn.Dense(d, name="q_proj")(inputs_query)
-        key = nn.Dense(d, name="k_proj")(inputs_key)
-        val = nn.Dense(d, name="v_proj")(inputs_value)
+        q = dense(d, "q_proj")(inputs_query.astype(self.dtype))
+        key = dense(d, "k_proj")(inputs_key.astype(self.dtype))
+        val = dense(d, "v_proj")(inputs_value.astype(self.dtype))
         q = q.reshape(b, tq, self.num_heads, hd).transpose(0, 2, 1, 3)
         key = key.reshape(b, tk, self.num_heads, hd).transpose(0, 2, 1, 3)
         val = val.reshape(b, tk, self.num_heads, hd).transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, key) / jnp.sqrt(hd).astype(q.dtype)
+        # logits + softmax in float32 regardless of computation dtype
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, key).astype(
+            jnp.float32
+        ) / jnp.sqrt(hd).astype(jnp.float32)
         if neighbor_mask is not None:
             attn = jnp.where(neighbor_mask[:, None, None, :], attn, -1e10)
         scores = nn.softmax(attn, axis=-1)
         scores = nn.Dropout(self.dropout, deterministic=not train)(scores)
-        hidden = jnp.einsum("bhqk,bhkd->bhqd", scores, val)
+        hidden = jnp.einsum("bhqk,bhkd->bhqd", scores.astype(self.dtype), val)
         hidden = hidden.transpose(0, 2, 1, 3).reshape(b, tq, d)
-        hidden = nn.Dense(d, name="out_proj")(hidden)
+        hidden = dense(d, "out_proj")(hidden).astype(jnp.float32)
 
         # post-LN residual blocks (modules.py:260-264)
         x = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(
             inputs_query + nn.Dropout(self.dropout, deterministic=not train)(hidden)
         )
-        ffn = nn.Dense(4 * d, name="ffn1")(x)
+        ffn = dense(4 * d, "ffn1")(x.astype(self.dtype))
         ffn = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(ffn))
-        ffn = nn.Dense(d, name="ffn2")(ffn)
+        ffn = dense(d, "ffn2")(ffn).astype(jnp.float32)
         return nn.LayerNorm(epsilon=LN_EPS, name="norm2")(
             x + nn.Dropout(self.dropout, deterministic=not train)(ffn)
         )

@@ -137,13 +137,26 @@ class LinkPredictionTrainer:
         with_tia = (
             getattr(backbone, "sample_strategy", "recent") == "time_interval_aware"
         )
+        # per-segment feature prefix sums on the CSR, for backbones whose
+        # node encoder is a windowed feature mean (GraphMixer): O(1)-per-query
+        # aggregation instead of a (B, time_gap, Dn) gather. Auto-disabled
+        # above the HBM budget (the table is (2E, Dn) float32).
+        fpx = None
+        if getattr(backbone, "wants_feat_prefix", False):
+            table_bytes = (
+                2 * data.full.num_interactions * data.node_raw_features.shape[1] * 4
+            )
+            if table_bytes <= 2_000_000_000:
+                fpx = data.node_raw_features
         self.train_csr = build_temporal_csr(
             data.train, num_nodes=data.num_nodes,
             time_scaling_factor=cfg.time_scaling_factor, with_tia=with_tia,
+            feat_prefix_of=fpx,
         )
         self.full_csr = build_temporal_csr(
             data.full, num_nodes=data.num_nodes,
             time_scaling_factor=cfg.time_scaling_factor, with_tia=with_tia,
+            feat_prefix_of=fpx,
         )
         if mesh is not None:  # adjacency replicated on every device
             self.train_csr = jax.device_put(self.train_csr, self._repl)

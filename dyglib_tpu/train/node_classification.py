@@ -61,9 +61,17 @@ class NodeClassificationTrainer:
         with_tia = (
             getattr(backbone, "sample_strategy", "recent") == "time_interval_aware"
         )
+        fpx = None
+        if getattr(backbone, "wants_feat_prefix", False):
+            table_bytes = (
+                2 * data.full.num_interactions * data.node_raw_features.shape[1] * 4
+            )
+            if table_bytes <= 2_000_000_000:
+                fpx = data.node_raw_features
         self.full_csr = build_temporal_csr(
             data.full, num_nodes=data.num_nodes,
             time_scaling_factor=cfg.time_scaling_factor, with_tia=with_tia,
+            feat_prefix_of=fpx,
         )
         self.head = MLPClassifier(dropout=cfg.head_dropout)
         self.optim = make_optimizer(cfg)

@@ -65,6 +65,39 @@ def test_graphmixer_end_to_end(link_data, tmp_path):
     assert ap > 0.55, f"GraphMixer test AP {ap}"
 
 
+def test_node_encoder_prefix_matches_gather(link_data):
+    """The O(1) prefix-sum node encoder must reproduce the (B, time_gap, Dn)
+    gather aggregation (same window, same mean) to float32 accuracy."""
+    from dyglib_tpu.graph.csr import build_temporal_csr, time_keys
+    from dyglib_tpu.models.base import FeatureTables
+
+    d = link_data
+    csr = build_temporal_csr(
+        d.full, num_nodes=d.num_nodes, feat_prefix_of=d.node_raw_features
+    )
+    tables = FeatureTables(
+        node=jnp.asarray(d.node_raw_features),
+        edge=jnp.asarray(d.edge_raw_features),
+    )
+    ids = jnp.asarray(d.test.src[:64], jnp.int32)
+    ts = jnp.asarray(time_keys(d.test.ts[:64]), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    outs = {}
+    for mode in ("prefix", "gather"):
+        bb = GraphMixer(
+            num_neighbors=10, num_layers=2, time_gap=64, node_encoder_mode=mode
+        )
+        params = bb.init(jax.random.PRNGKey(1), tables, csr)
+        inputs = bb.sample(csr, ids, ts, key)
+        if mode == "prefix":
+            assert inputs.tg_sum is not None and inputs.tg_ids is None
+        else:
+            assert inputs.tg_sum is None and inputs.tg_ids is not None
+        outs[mode] = np.asarray(bb.apply(params, tables, inputs, train=False))
+    np.testing.assert_allclose(outs["prefix"], outs["gather"], atol=2e-4)
+
+
 def test_frozen_time_encoder(link_data, tmp_path):
     """GraphMixer's time encoder must not receive gradient updates
     (parameter_requires_grad=False, reference GraphMixer.py:45)."""
