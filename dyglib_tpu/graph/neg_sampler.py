@@ -49,19 +49,71 @@ class NegativeEdgeSampler:
             self.earliest_time = float(self.interact_times.min())
             # chronological order of interactions for incremental sweeps
             self._order = np.argsort(self.interact_times, kind="stable")
+            self._sorted_times = self.interact_times[self._order]
+            self._sorted_keys = self._edge_keys(
+                self.src_node_ids[self._order], self.dst_node_ids[self._order]
+            )
+            e = len(self._order)
+            # incremental historical pool: unique edges in first-seen
+            # chronological order (deterministic), grown as the sweep's
+            # batch windows advance — O(E) total per sweep instead of the
+            # reference's per-batch full rescan (utils/utils.py:418-424)
+            self._pool_src = np.empty(e, dtype=np.int64)
+            self._pool_dst = np.empty(e, dtype=np.int64)
+            self._pool_ind_ok = np.empty(e, dtype=bool)
+            self._reset_pool()
 
         if negative_sample_strategy == "inductive":
             assert last_observed_time is not None
             self.observed_edges = self.get_unique_edges_between_start_end_time(
                 self.earliest_time, last_observed_time
             )
+            self._observed_keys = {
+                (int(a) << 32) | int(b) for a, b in self.observed_edges
+            }
 
         self.random_state = np.random.RandomState(seed)
 
+    @staticmethod
+    def _edge_keys(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+        """(src, dst) -> single int64 key (node ids are < 2**31)."""
+        return (src.astype(np.int64) << 32) | dst.astype(np.int64)
+
+    def _reset_pool(self) -> None:
+        self._ptr = 0
+        self._pool_n = 0
+        self._seen: set[int] = set()
+
+    def _advance_pool(self, t_start: float) -> None:
+        """Fold all interactions with t <= t_start into the historical pool."""
+        new_ptr = int(np.searchsorted(self._sorted_times, t_start, side="right"))
+        if new_ptr < self._ptr:  # sweep restarted from an earlier time
+            self._reset_pool()
+            new_ptr = int(np.searchsorted(self._sorted_times, t_start, side="right"))
+        seen = self._seen
+        n = self._pool_n
+        for i in range(self._ptr, new_ptr):
+            k = int(self._sorted_keys[i])
+            if k not in seen:
+                seen.add(k)
+                self._pool_src[n] = self._sorted_keys[i] >> 32
+                self._pool_dst[n] = self._sorted_keys[i] & 0xFFFFFFFF
+                self._pool_ind_ok[n] = (
+                    k not in self._observed_keys
+                    if self.negative_sample_strategy == "inductive"
+                    else True
+                )
+                n += 1
+        self._pool_n = n
+        self._ptr = new_ptr
+
     def reset_random_state(self) -> None:
         """Restore the seeded stream so eval negatives repeat exactly
-        (utils/utils.py:490-495)."""
+        (utils/utils.py:490-495); also rewinds the incremental pool so a
+        fresh chronological sweep reproduces the same pools."""
         self.random_state = np.random.RandomState(self.seed)
+        if self.interact_times is not None:
+            self._reset_pool()
 
     def get_unique_edges_between_start_end_time(
         self, start_time: float, end_time: float
@@ -131,17 +183,19 @@ class NegativeEdgeSampler:
         inductive: bool,
     ) -> tuple[np.ndarray, np.ndarray]:
         assert self.seed is not None
-        historical = self.get_unique_edges_between_start_end_time(
-            self.earliest_time, current_batch_start_time
-        )
-        current = self.get_unique_edges_between_start_end_time(
-            current_batch_start_time, current_batch_end_time
-        )
-        pool = historical - current
+        self._advance_pool(current_batch_start_time)
+        # current-batch edges: the [start, end] window of the sorted stream
+        lo = int(np.searchsorted(self._sorted_times, current_batch_start_time, "left"))
+        hi = int(np.searchsorted(self._sorted_times, current_batch_end_time, "right"))
+        current_keys = np.unique(self._sorted_keys[lo:hi])
+
+        n = self._pool_n
+        keys = self._edge_keys(self._pool_src[:n], self._pool_dst[:n])
+        mask = ~np.isin(keys, current_keys)
         if inductive:
-            pool = pool - self.observed_edges
-        pool_src = np.array([e[0] for e in sorted(pool)], dtype=np.int64)
-        pool_dst = np.array([e[1] for e in sorted(pool)], dtype=np.int64)
+            mask &= self._pool_ind_ok[:n]
+        pool_src = self._pool_src[:n][mask]
+        pool_dst = self._pool_dst[:n][mask]
 
         if size > len(pool_src):
             n_fill = size - len(pool_src)

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.csr import TemporalCSR
-from ..graph.sampler import sample_recent
+from ..graph.sampler import window_bounds
 from ..nn.modules import LN_EPS, TimeEncoder
 from .base import FeatureTables
 
@@ -255,20 +255,18 @@ class DyGFormer:
         ids = ids.astype(jnp.int32)
         ts = ts.astype(jnp.int32)
         k = min(self.max_input_sequence_length, total) - 1
-        blk = sample_recent(csr, ids, ts, k)  # right-aligned (B, k)
-        cnt = blk.mask.sum(axis=1)  # valid history length per row
-        # left-align: entry j of the output takes right-aligned entry
-        # j + (k - cnt); out-of-range -> padding
+        # the most recent k interactions LEFT-ALIGNED in one gather: the
+        # recent window is the contiguous CSR range [max(lo, hi-k), hi), so
+        # output entry j reads flat index max(lo, hi-k)+j while j < count
+        lo, hi = window_bounds(csr, ids, ts)
+        start = jnp.maximum(lo, hi - k)
         j = jnp.arange(k, dtype=jnp.int32)[None, :]
-        src_idx = j + (k - cnt)[:, None]
-        take_valid = j < cnt[:, None]
-        safe = jnp.clip(src_idx, 0, k - 1)
-        gather = lambda x, fill: jnp.where(
-            take_valid, jnp.take_along_axis(x, safe, axis=1), fill
-        )
-        nbr = gather(blk.nbr, 0)
-        eid = gather(blk.eid, 0)
-        tsn = gather(blk.ts, 0)
+        idx = start[:, None] + j
+        valid = idx < hi[:, None]
+        safe = jnp.clip(idx, 0, csr.num_entries - 1)
+        nbr = jnp.where(valid, csr.nbr[safe], 0)
+        eid = jnp.where(valid, csr.eid[safe], 0)
+        tsn = jnp.where(valid, csr.ts[safe], 0)
 
         pad_cols = total - 1 - k
         if pad_cols > 0:
