@@ -264,9 +264,15 @@ class DyGFormer:
         idx = start[:, None] + j
         valid = idx < hi[:, None]
         safe = jnp.clip(idx, 0, csr.num_entries - 1)
-        nbr = jnp.where(valid, csr.nbr[safe], 0)
-        eid = jnp.where(valid, csr.eid[safe], 0)
-        tsn = jnp.where(valid, csr.ts[safe], 0)
+        if csr.pack is not None:  # one packed row gather (see TemporalCSR.pack)
+            rows = csr.pack[safe]
+            nbr = jnp.where(valid, rows[..., 0], 0)
+            eid = jnp.where(valid, rows[..., 1], 0)
+            tsn = jnp.where(valid, rows[..., 2], 0)
+        else:
+            nbr = jnp.where(valid, csr.nbr[safe], 0)
+            eid = jnp.where(valid, csr.eid[safe], 0)
+            tsn = jnp.where(valid, csr.ts[safe], 0)
 
         pad_cols = total - 1 - k
         if pad_cols > 0:

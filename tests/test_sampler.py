@@ -172,3 +172,33 @@ def test_sampler_jit_and_determinism(graph):
     a = f(csr, ids, ts, jax.random.PRNGKey(9))
     b = f(csr, ids, ts, jax.random.PRNGKey(9))
     assert np.array_equal(np.asarray(a.nbr), np.asarray(b.nbr))
+
+
+def test_nbr_hi_matches_window_bounds(graph):
+    """csr.nbr_hi[e] == the bisected strictly-before bound of (nbr[e], ts[e])."""
+    stream, csr, _ = graph
+    nbr = jnp.asarray(csr.nbr)
+    ts = jnp.asarray(csr.ts)
+    _, hi = jax.jit(window_bounds)(csr, nbr, ts)
+    assert np.array_equal(np.asarray(hi), np.asarray(csr.nbr_hi))
+
+
+def test_multi_hop_precomputed_bounds_parity(graph):
+    """Multi-hop via nbr_hi is bit-identical to the bisection fallback."""
+    stream, csr, _ = graph
+    rng = np.random.default_rng(7)
+    ids, ts = _queries(stream, rng, 32)
+    ids, ts = jnp.asarray(ids), jnp.asarray(ts)
+    csr_no = csr._replace(nbr_hi=None)
+    for strategy, key in (
+        ("recent", None),
+        ("uniform", jax.random.PRNGKey(3)),
+        ("time_interval_aware", jax.random.PRNGKey(4)),
+    ):
+        fast = sample_multi_hop(csr, ids, ts, 4, 3, strategy, key)
+        slow = sample_multi_hop(csr_no, ids, ts, 4, 3, strategy, key)
+        for bf, bs in zip(fast, slow):
+            for name in ("nbr", "eid", "ts", "mask"):
+                assert np.array_equal(
+                    np.asarray(getattr(bf, name)), np.asarray(getattr(bs, name))
+                ), (strategy, name)
