@@ -66,6 +66,11 @@ def _common_args(parser: argparse.ArgumentParser) -> None:
         help="disable per-batch sequence-length buckets (DyGFormer)",
     )
     parser.add_argument(
+        "--check_memory_order", action="store_true", default=False,
+        help="validation mode: verify node memory clocks never move "
+        "backwards (temporal-ordering guard for sharded memory state)",
+    )
+    parser.add_argument(
         "--data_parallelism", type=int, default=0,
         help="devices on the mesh data axis (0 = single device, -1 = all)",
     )

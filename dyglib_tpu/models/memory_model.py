@@ -253,6 +253,35 @@ class MemoryModelNet(nn.Module):
         return embs
 
 
+def memory_order_violations(
+    prev_last_update: np.ndarray,
+    prev_msg_time: np.ndarray,
+    new_state: "MemoryState",
+) -> int:
+    """Count of nodes whose memory clock moved BACKWARDS across a state
+    transition — the framework's equivalent of the reference's
+    "memory to update should not be in the past" asserts
+    (MemoryModel.py:448-449, 475-476), recast as a host-side validation so
+    the jitted path stays assert-free.
+
+    The chronological stream makes both clocks non-decreasing per node:
+    ``last_update`` only advances to committed message times, and the
+    keep-last message slot only stores times >= the one it overwrites
+    (clearing a slot leaves its time in place). A nonzero count therefore
+    indicates a temporal-ordering bug — e.g. batches applied out of order,
+    or a partitioner miscompile corrupting node-sharded state under SPMD
+    (observed once with the commit scatter inside autodiff; see
+    MemoryModel.commit). The dump row (last row) is excluded: it is
+    scrubbed to 0 on every commit by design.
+    """
+    lu = np.asarray(new_state.last_update)[:-1]
+    mt = np.asarray(new_state.msg_time)[:-1]
+    return int(
+        np.sum(lu < np.asarray(prev_last_update)[:-1])
+        + np.sum(mt < np.asarray(prev_msg_time)[:-1])
+    )
+
+
 def _last_occurrence_mask(
     safe_ids: jnp.ndarray, valid: jnp.ndarray, n: int
 ) -> jnp.ndarray:

@@ -78,6 +78,12 @@ class TrainConfig:
     sequence_buckets: bool = True
     checkpoint_backend: str = "pickle"  # or "orbax" (directory checkpoints)
     tensorboard_dir: str = ""  # non-empty: scalar event stream per epoch
+    # validation mode: after every train step (per epoch in scan mode),
+    # verify no node's memory clock moved backwards — the sharded-state
+    # temporal-ordering guard (SURVEY §5 race detection; reference asserts
+    # at MemoryModel.py:448-449). Costs a device->host state read per
+    # check, so off by default.
+    check_memory_order: bool = False
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -361,6 +367,28 @@ class LinkPredictionTrainer:
 
         return jax.device_put(state, NamedSharding(self.mesh, P(DATA_AXIS)))
 
+    # --------------------------------------------- memory-order validation
+    def _order_snapshot(self, state):
+        """Host copy of the memory clocks, taken BEFORE a (donating) step.
+
+        Only under cfg.check_memory_order (costs a device->host read)."""
+        if state is None or not self.cfg.check_memory_order:
+            return None
+        return (np.asarray(state.last_update), np.asarray(state.msg_time))
+
+    def _check_order(self, snap, new_state, where: str) -> None:
+        if snap is None:
+            return
+        from ..models.memory_model import memory_order_violations
+
+        n = memory_order_violations(snap[0], snap[1], new_state)
+        if n:
+            raise RuntimeError(
+                f"memory order violated at {where}: {n} node clock(s) moved "
+                "backwards — batches applied out of chronological order or "
+                "sharded-state corruption (see memory_order_violations)"
+            )
+
     # ------------------------------------------------------------------ loops
     def _batch_arrays(self, b: Batch, neg_src, neg_dst):
         return self._place_batch(
@@ -490,9 +518,11 @@ class LinkPredictionTrainer:
                 jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
             )
             bucket = self._pick_bucket(self.train_csr, b, b.src, neg_dst)
+            order_snap = self._order_snapshot(state)
             params, opt_state, state, loss, probs = self.train_step(
                 params, opt_state, state, self.train_csr, arrays, key, bucket
             )
+            self._check_order(order_snap, state, f"epoch {epoch} batch {i}")
             losses.append(float(loss))
             metrics.append(self._batch_metrics(probs, b))
             if (
@@ -537,9 +567,11 @@ class LinkPredictionTrainer:
                 lambda i: jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
             )(jnp.arange(len(batches)))
         )
+        order_snap = self._order_snapshot(state)
         params, opt_state, state, losses, probs = self.train_epoch_scan_fn(
             params, opt_state, state, self.train_csr, stacked, keys
         )
+        self._check_order(order_snap, state, f"epoch {epoch} (scan)")
         losses = [float(x) for x in np.asarray(losses)]
         pos, neg = np.asarray(probs[0]), np.asarray(probs[1])
         metrics = [

@@ -200,3 +200,45 @@ def test_memory_model_end_to_end(model_name, link_data, tmp_path):
     ap = results["test metrics"]["average_precision"]
     assert 0.4 < ap <= 1.0  # learns or at least doesn't diverge in 2 epochs
     assert np.isfinite(ap)
+
+
+def test_memory_order_violations_function(setup):
+    from dyglib_tpu.models.memory_model import memory_order_violations
+
+    _, tables, _ = setup
+    backbone = MemoryModel(model_name="TGN", num_neighbors=5, num_layers=1)
+    state = backbone.init_state(tables)
+    lu = np.asarray(state.last_update)
+    mt = np.asarray(state.msg_time)
+    advanced = state._replace(
+        last_update=jnp.asarray(lu + 5), msg_time=jnp.asarray(mt + 3)
+    )
+    assert memory_order_violations(lu, mt, advanced) == 0
+    # one node clock regressed -> detected; the dump row is exempt
+    bad_lu = lu + 5
+    bad_lu[2] = -1
+    regressed = advanced._replace(last_update=jnp.asarray(bad_lu))
+    assert memory_order_violations(lu + 5, mt, regressed) == 1
+    dump_only = np.array(lu + 5)
+    dump_only[-1] = -1
+    assert memory_order_violations(
+        lu + 5, mt, advanced._replace(last_update=jnp.asarray(dump_only))
+    ) == 0
+
+
+def test_check_memory_order_clean_run(link_data, tmp_path):
+    """A chronological TGN run passes the order guard in both loop modes."""
+    d = link_data
+    shifts = compute_src_dst_node_time_shifts(d.train.src, d.train.dst, d.train.ts)
+    for scan in (False, True):
+        backbone = MemoryModel(
+            model_name="TGN", num_neighbors=5, num_layers=1, time_shifts=shifts
+        )
+        cfg = TrainConfig(
+            batch_size=200, num_epochs=1, patience=5,
+            check_memory_order=True, scan_epochs=scan,
+        )
+        trainer = LinkPredictionTrainer(
+            backbone, d, cfg, str(tmp_path / f"order{scan}.pkl")
+        )
+        trainer.fit(seed=0, log=lambda *a: None)  # raises on violation
