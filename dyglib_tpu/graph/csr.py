@@ -64,6 +64,13 @@ class TemporalCSR(NamedTuple):
     # duplication costs 16 B/entry of HBM — accepted for the ~4x sample
     # speedup (scripts/microbench_gather.py).
     pack: Optional[jnp.ndarray] = None
+    # Static bisection bound carried as a placeholder array's LENGTH (a
+    # NamedTuple pytree cannot hold a plain int without it being traced):
+    # per-segment binary searches converge in ceil(log2(max_degree))+1
+    # steps, far fewer than the log2(num_entries) worst case — each step is
+    # a 25k-lane scalar gather on the sampling hot path, so the bound cut
+    # CAWN's tia inverse-CDF search ~2x (scripts/trace_ops.py).
+    seg_steps: Optional[jnp.ndarray] = None  # (steps,) int8 placeholder
 
     @property
     def num_nodes(self) -> int:
@@ -72,6 +79,16 @@ class TemporalCSR(NamedTuple):
     @property
     def num_entries(self) -> int:
         return self.nbr.shape[0]
+
+    @property
+    def segment_bisect_steps(self) -> int:
+        """Unroll count for per-segment binary searches (see seg_steps)."""
+        if self.seg_steps is not None:
+            return self.seg_steps.shape[0]
+        import math
+
+        m = max(int(self.num_entries), 2)
+        return max(1, int(math.ceil(math.log2(m))) + 1)
 
 
 def build_temporal_csr(
@@ -159,7 +176,16 @@ def build_temporal_csr(
         else jnp.asarray(feat_prefix, jnp.float32),
         nbr_hi=jnp.asarray(nbr_hi, dtype=jnp.int32),
         pack=jnp.asarray(pack),
+        seg_steps=jnp.zeros((_segment_steps(offsets),), jnp.int8),
     )
+
+
+def _segment_steps(offsets: np.ndarray) -> int:
+    """Bisection unroll bound: ceil(log2(max segment length)) + 1."""
+    import math
+
+    max_deg = int(np.max(np.diff(offsets))) if len(offsets) > 1 else 1
+    return max(1, int(math.ceil(math.log2(max(max_deg, 2)))) + 1)
 
 
 def _segment_feature_prefix(

@@ -26,7 +26,6 @@ not in bitstream (SURVEY §7 "RNG parity"); ``recent`` is exact.
 """
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax
@@ -44,10 +43,6 @@ class NeighborBlock(NamedTuple):
     mask: jnp.ndarray  # (..., K) bool, True on real samples
 
 
-def _bisect_steps(m: int) -> int:
-    return max(1, int(math.ceil(math.log2(max(m, 2)))) + 1)
-
-
 def window_bounds(
     csr: TemporalCSR, node_ids: jnp.ndarray, times: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -62,12 +57,14 @@ def window_bounds(
     seg_hi = csr.offsets[node_ids + 1]
     t = times.astype(jnp.int32)
 
-    # statically UNROLLED bisection (<= ~32 steps for int32 sizes): on TPU a
+    # statically UNROLLED bisection (ceil(log2(max_degree))+1 steps —
+    # the search range is one node's segment, so the bound is the max
+    # segment length, not num_entries): on TPU a
     # lax.fori_loop of tiny bodies pays per-iteration loop sequencing that
     # dominated CAWN's sampling time; straight-line ops fuse into a handful
     # of kernels instead
     lo_, hi_ = lo, seg_hi
-    for _ in range(_bisect_steps(csr.num_entries)):
+    for _ in range(csr.segment_bisect_steps):
         mid = (lo_ + hi_) >> 1
         below = csr.ts[jnp.clip(mid, 0, csr.num_entries - 1)] < t
         active = lo_ < hi_
@@ -161,8 +158,9 @@ def _tia_indices(
     lo_b = jnp.broadcast_to(lo[..., None], target.shape)
     hi_b = jnp.broadcast_to(hi[..., None], target.shape)
 
+    # range is one node's window, so the max-segment-length bound applies
     lo_, hi_ = lo_b, hi_b
-    for _ in range(_bisect_steps(csr.num_entries)):
+    for _ in range(csr.segment_bisect_steps):
         mid = (lo_ + hi_) >> 1
         below = cew[jnp.clip(mid, 0, csr.num_entries - 1)] <= target
         active = lo_ < hi_

@@ -11,20 +11,34 @@ Semantics preserved:
     occurrence at hop h of either tree contributes 1/K^h to that node's
     (side, hop) cell; pad node 0 zeroed; features = MLP(counts) summed over
     the src/dst root channels (CAWN.py:197-289). The reference's
-    string-keyed dict + np.unique becomes a sorted-key searchsorted join on
-    device (occurrence multiplicity = right_insertion - left_insertion);
+    string-keyed dict + np.unique becomes a fused equality-compare + reduce
+    over the hop tables (sorted-key searchsorted join as the memory-lean
+    fallback for very large trees);
   * WalkEncoder: [node || time || edge || position] per step -> BiLSTM
     taking the output at each walk's last valid position (packed-sequence
-    semantics, CAWN.py:358-396); position features through a second BiLSTM;
+    semantics, CAWN.py:358-396); position feats through a second BiLSTM;
     concat, project to attention_dim = ceil(input_dim/2 to num_walk_heads),
     shared post-LN TransformerEncoder over walks, mean-pool, project
     (CAWN.py:292-355).
+
+TPU-native structure — tree-factored walk encoding: every per-walk-step
+quantity (raw features, Phi(dt), position counts, LSTM gate projections) is
+a repeat-expansion of a HOP TABLE entry (walk step st enumerates hop table
+st; CAWN.py:130-164 builds walks exactly this way). So features, the
+position MLP, and the BiLSTM input/recurrent matmuls all run at hop
+granularity — sum_st K^st rows instead of (L+1) * K^L — and results are
+broadcast to walk granularity only at the final select/attention stage.
+At the shipped configs this roughly halves (L=1) to thirds (L=2) the
+dominant gathers/matmuls/elementwise of the step (trace:
+scripts/trace_ops.py).
 
 BiLSTM note: the reference packs each walk to its valid length v and reads
 the output at position v-1; for the reversed direction that position is the
 FIRST step of the backward pass, so the exact equivalent is a forward
 LSTM scan (read h at v-1) plus ONE backward-cell step on input v-1 from the
-zero state — no full reverse scan needed.
+zero state — no full reverse scan needed. Gate projections are fused
+(one (D, 4H) input matmul per hop level + one (H, 4H) recurrent matmul per
+step, standard i,f,g,o gates) instead of flax LSTMCell's 8 narrow Denses.
 
 CAWN is pair-aware through the position encoder: the quad batch is split
 into 2B (left, right) pairs for counting, while walk encoding runs on all
@@ -46,80 +60,48 @@ from .base import FeatureTables
 
 
 class CAWNInputs(NamedTuple):
-    walk_ids: jnp.ndarray  # (4B, W, L+1) int32
-    walk_eids: jnp.ndarray  # (4B, W, L+1) int32
-    walk_ts: jnp.ndarray  # (4B, W, L+1) int32
+    walk_ids: jnp.ndarray  # (4B, W, L+1) int32 (lengths + parity oracles)
     query_ts: jnp.ndarray  # (4B,) int32
-    hop_ids: tuple  # h = 0..L: (4B, K^h) node ids (occurrence tables)
+    hop_ids: tuple  # st = 0..L: (4B, K^st) node ids
+    hop_eids: tuple  # st = 0..L: (4B, K^st) edge ids (0 at st=0)
+    hop_ts: tuple  # st = 0..L: (4B, K^st) int32 time keys
 
 
-class BiLSTMEncoder(nn.Module):
-    """Packed-sequence BiLSTM read at the last valid position
-    (CAWN.py:358-396). hidden_dim is split across the two directions."""
-
-    hidden_dim: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-        """(M, T, D), (M,) valid lengths >= 1 -> (M, 2*(hidden_dim//2))."""
-        x = x.astype(self.dtype)
-        m, t, _ = x.shape
-        h1 = self.hidden_dim // 2
-        fwd = nn.LSTMCell(features=h1, dtype=self.dtype, name="fwd")
-        bwd = nn.LSTMCell(features=h1, dtype=self.dtype, name="bwd")
-
-        carry = fwd.initialize_carry(jax.random.PRNGKey(0), (m, x.shape[-1]))
-        outs = []
-        for step in range(t):
-            carry, y = fwd(carry, x[:, step, :])
-            outs.append(y)
-        fwd_all = jnp.stack(outs, axis=1)  # (M, T, h1)
-        last = jnp.clip(lengths - 1, 0, t - 1)
-        h_fwd = jnp.take_along_axis(
-            fwd_all, last[:, None, None].astype(jnp.int32), axis=1
-        )[:, 0, :]
-
-        # backward direction's output at the last valid position is its
-        # first step: one cell application on x[v-1] from the zero state
-        x_last = jnp.take_along_axis(
-            x, last[:, None, None].astype(jnp.int32), axis=1
-        )[:, 0, :]
-        carry_b = bwd.initialize_carry(jax.random.PRNGKey(0), (m, x.shape[-1]))
-        _, h_bwd = bwd(carry_b, x_last)
-        return jnp.concatenate([h_fwd, h_bwd], axis=-1).astype(jnp.float32)
+def _expand_to_walks(arr: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(M, K^st, ...) hop-level values -> (M, W, ...) walk-level via the
+    repeat alignment walks are built with (CAWN.py:130-164)."""
+    return jnp.repeat(arr, w // arr.shape[1], axis=1)
 
 
-def walk_position_counts(
-    walk_ids: jnp.ndarray, hop_ids: tuple, num_nodes: int
-) -> jnp.ndarray:
-    """Landing-probability counts for every walk entry -> (4B, W, L+1, 2, L+1).
-
-    Cell [..., s, h] = (occurrences of the entry's node at hop h of side s's
-    occurrence tree) / K^h — the reference PositionEncoder's dict of
-    "{batch_idx}-{node_id}" keys accumulating 1/num_neighbors_at_hop per
-    visit over the src- and dst-rooted trees (CAWN.py:197-289).
-
-    Fast path: counts are computed on the HOP TABLES (walk step st is a
-    repeat-expansion of hop table st, so per-walk counts are a repeat of
-    per-table counts) via a fused equality-compare + reduce — no sort. The
-    TPU sort + double searchsorted join this replaces measured 50 ms of
-    CAWN's 80 ms step at (B=200, K=32, L=1); the join survives as the
-    fallback for walk trees too large to compare blockwise.
-    """
-    m, w, lp1 = walk_ids.shape
+def _quad_partner(m: int):
+    """Partner row + left-ness for quad batches [src||dst||neg_src||neg_dst]:
+    pairs are (q, q+b) for left rows and (q, q-b) for right rows."""
     b = m // 4
+    ar = jnp.arange(b, dtype=jnp.int32)
+    partner = jnp.concatenate([ar + b, ar, ar + 3 * b, ar + 2 * b])
+    is_left = jnp.concatenate([jnp.ones(b, bool), jnp.zeros(b, bool)] * 2)
+    return partner, is_left[:, None]
+
+
+def hop_position_counts(hop_ids: tuple, num_nodes: int) -> tuple:
+    """Landing-probability counts at hop granularity: per hop table st a
+    (4B, K^st, 2, L+1) array whose cell [..., s, h] = (occurrences of the
+    entry's node at hop h of side s's occurrence tree) / K^h — the reference
+    PositionEncoder's dict of "{batch_idx}-{node_id}" keys accumulating
+    1/num_neighbors_at_hop per visit over the src- and dst-rooted trees
+    (CAWN.py:197-289). Pad entries (node id 0) are zeroed.
+
+    Fast path: fused equality-compare + reduce between hop tables (the TPU
+    sort + double-searchsorted join this replaces measured 50 ms of CAWN's
+    80 ms step at B=200, K=32, L=1); the join survives as the fallback for
+    walk trees too large to compare blockwise.
+    """
+    m = hop_ids[0].shape[0]
+    lp1 = len(hop_ids)
     biggest = max(h.shape[1] for h in hop_ids)
     if m * biggest * biggest <= 1 << 28:
-        # partner row of each quad row: [src||dst||neg_src||neg_dst] pairs
-        # are (q, q+b) for left rows and (q, q-b) for right rows
-        ar = jnp.arange(b, dtype=jnp.int32)
-        partner = jnp.concatenate([ar + b, ar, ar + 3 * b, ar + 2 * b])
-        is_left = jnp.concatenate(
-            [jnp.ones(b, bool), jnp.zeros(b, bool)] * 2
-        )[:, None]
-
-        per_hop = []  # counts for hop-table entries: (4B, K^st, 2, L+1)
+        partner, is_left = _quad_partner(m)
+        per_hop = []
         for st in range(lp1):
             tbl = hop_ids[st]  # (4B, K^st)
             cols = []
@@ -135,38 +117,77 @@ def walk_position_counts(
                 side1 = jnp.where(is_left, c_part, c_self)  # dst-rooted tree
                 cols.append(jnp.stack([side0, side1], axis=-1))  # (4B,K^st,2)
             per_hop.append(jnp.stack(cols, axis=-1))  # (4B, K^st, 2, L+1)
-
-        counts = jnp.stack(
-            [
-                jnp.repeat(per_hop[st], w // per_hop[st].shape[1], axis=1)
-                for st in range(lp1)
-            ],
-            axis=2,
-        )  # (4B, W, L+1, 2, L+1)
     else:
-        counts = _walk_position_counts_join(walk_ids, hop_ids, num_nodes)
+        per_hop = _hop_position_counts_join(hop_ids, num_nodes)
+    return tuple(
+        jnp.where((hop_ids[st] != 0)[..., None, None], per_hop[st], 0.0)
+        for st in range(lp1)
+    )
+
+
+def walk_position_counts(
+    walk_ids: jnp.ndarray, hop_ids: tuple, num_nodes: int
+) -> jnp.ndarray:
+    """Walk-level counts (4B, W, L+1, 2, L+1): the hop-level counts expanded
+    along the walk repeat alignment. Kept as the parity surface against the
+    reference PositionEncoder (walk step st IS hop entry st)."""
+    w = walk_ids.shape[1]
+    per_hop = hop_position_counts(hop_ids, num_nodes)
+    counts = jnp.stack([_expand_to_walks(c, w) for c in per_hop], axis=2)
     return jnp.where((walk_ids != 0)[..., None, None], counts, 0.0)
+
+
+def _pair_keys(hop_ids: tuple, num_nodes: int):
+    """(pair row, node id) -> sortable int32 keys + side row indices."""
+    m = hop_ids[0].shape[0]
+    b = m // 4
+    li = jnp.concatenate([jnp.arange(b), jnp.arange(2 * b, 3 * b)])
+    ri = jnp.concatenate([jnp.arange(b, 2 * b), jnp.arange(3 * b, 4 * b)])
+    n_pairs = 2 * b
+    pair_of_quad = jnp.zeros((m,), jnp.int32)
+    pair_of_quad = pair_of_quad.at[li].set(jnp.arange(n_pairs, dtype=jnp.int32))
+    pair_of_quad = pair_of_quad.at[ri].set(jnp.arange(n_pairs, dtype=jnp.int32))
+    return li, ri, n_pairs, pair_of_quad
+
+
+def _hop_position_counts_join(hop_ids: tuple, num_nodes: int) -> list:
+    """Sorted-key searchsorted join (multiplicity = right - left insertion);
+    memory-lean fallback for very large walk trees, hop-granularity queries."""
+    lp1 = len(hop_ids)
+    li, ri, n_pairs, pair_of_quad = _pair_keys(hop_ids, num_nodes)
+    pair_ids = jnp.arange(n_pairs, dtype=jnp.int32)
+
+    out = []
+    for st in range(lp1):
+        q_keys = pair_of_quad[:, None] * num_nodes + hop_ids[st]  # (4B, K^st)
+        counts = jnp.zeros(q_keys.shape + (2, lp1), jnp.float32)
+        for s, side_rows in enumerate((li, ri)):
+            for h in range(lp1):
+                occ = hop_ids[h][side_rows]  # (2B, K^h)
+                occ_keys = jnp.sort(
+                    (pair_ids[:, None] * num_nodes + occ).reshape(-1)
+                )
+                left = jnp.searchsorted(occ_keys, q_keys, side="left")
+                right = jnp.searchsorted(occ_keys, q_keys, side="right")
+                c = (right - left).astype(jnp.float32) / occ.shape[1]
+                counts = counts.at[:, :, s, h].set(c)
+        out.append(counts)
+    return out
 
 
 def _walk_position_counts_join(
     walk_ids: jnp.ndarray, hop_ids: tuple, num_nodes: int
 ) -> jnp.ndarray:
-    """Sorted-key searchsorted join (multiplicity = right - left insertion);
-    O(M K^L log) memory-lean fallback for very large walk trees."""
+    """Walk-granularity join (kept as the cross-check surface for the fast
+    path; hop-granularity queries are strictly cheaper — see
+    _hop_position_counts_join)."""
     m, w, lp1 = walk_ids.shape
-    b = m // 4
-    n_pairs = 2 * b
-    li = jnp.concatenate([jnp.arange(b), jnp.arange(2 * b, 3 * b)])
-    ri = jnp.concatenate([jnp.arange(b, 2 * b), jnp.arange(3 * b, 4 * b)])
-    pair_of_quad = jnp.zeros((m,), jnp.int32)
-    pair_of_quad = pair_of_quad.at[li].set(jnp.arange(n_pairs, dtype=jnp.int32))
-    pair_of_quad = pair_of_quad.at[ri].set(jnp.arange(n_pairs, dtype=jnp.int32))
+    li, ri, n_pairs, pair_of_quad = _pair_keys(hop_ids, num_nodes)
+    pair_ids = jnp.arange(n_pairs, dtype=jnp.int32)
 
     counts = jnp.zeros((m, w, lp1, 2, lp1), jnp.float32)
-    # key = pair_row * num_nodes + node_id (int32; asserted in adapter)
     q_keys = pair_of_quad[:, None, None] * num_nodes + walk_ids  # (4B, W, L+1)
     for s, side_rows in enumerate((li, ri)):
-        pair_ids = jnp.arange(n_pairs, dtype=jnp.int32)
         for h in range(lp1):
             occ = hop_ids[h][side_rows]  # (2B, K^h)
             occ_keys = jnp.sort(
@@ -177,6 +198,96 @@ def _walk_position_counts_join(
             c = (right - left).astype(jnp.float32) / occ.shape[1]
             counts = counts.at[:, :, :, s, h].set(c)
     return counts
+
+
+def _block_orthogonal(key, shape, dtype=jnp.float32):
+    """Recurrent-kernel init: one orthogonal (H, H) block per gate."""
+    h, four_h = shape
+    keys = jax.random.split(key, four_h // h)
+    blocks = [nn.initializers.orthogonal()(k, (h, h), dtype) for k in keys]
+    return jnp.concatenate(blocks, axis=1)
+
+
+class TreeBiLSTMEncoder(nn.Module):
+    """Packed-sequence BiLSTM over walks, evaluated on the hop tree
+    (CAWN.py:358-396). hidden_dim is split across the two directions.
+
+    Inputs are per-hop feature tables ``hop_x[st]: (M, K^st, D)``; the LSTM
+    runs at hop granularity (states broadcast from parent to children
+    between steps — children of parent p are the contiguous block
+    p*K..p*K+K-1 of the next hop, the same repeat alignment walks use) and
+    only the final read-at-last-valid-position expands to walk granularity.
+    """
+
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hop_x: tuple, lengths: jnp.ndarray) -> jnp.ndarray:
+        """hop_x[st]: (M, K^st, D); lengths: (M, W) valid walk lengths >= 1
+        -> (M, W, 2*(hidden_dim//2))."""
+        hop_x = [x.astype(self.dtype) for x in hop_x]
+        m, _, d = hop_x[0].shape
+        t = len(hop_x)
+        w = lengths.shape[1]
+        h1 = self.hidden_dim // 2
+
+        def gate_params(prefix):
+            wx = self.param(
+                f"{prefix}_wx", nn.initializers.lecun_normal(), (d, 4 * h1)
+            ).astype(self.dtype)
+            wh = self.param(
+                f"{prefix}_wh", _block_orthogonal, (h1, 4 * h1)
+            ).astype(self.dtype)
+            b = self.param(
+                f"{prefix}_b", nn.initializers.zeros, (4 * h1,)
+            ).astype(self.dtype)
+            return wx, wh, b
+
+        def cell(gates, c):
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_new = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+            return c_new, nn.sigmoid(o) * jnp.tanh(c_new)
+
+        def select_last(hs):
+            """hs[st]: (M, K^st, h) -> value at each walk's last valid step."""
+            out = jnp.zeros((m, w, hs[0].shape[-1]), self.dtype)
+            for st, h_st in enumerate(hs):
+                out = jnp.where(
+                    (lengths == st + 1)[..., None],
+                    _expand_to_walks(h_st, w),
+                    out,
+                )
+            return out
+
+        # forward direction: scan down the tree
+        wx_f, wh_f, b_f = gate_params("fwd")
+        c = jnp.zeros((m, 1, h1), self.dtype)
+        h = None  # h0 = 0: recurrent term at step 0 is exactly zero
+        hs = []
+        for st in range(t):
+            kst = hop_x[st].shape[1]
+            gates = hop_x[st] @ wx_f + b_f
+            if h is not None:
+                rep = kst // h.shape[1]
+                c = jnp.repeat(c, rep, axis=1)
+                gates = gates + jnp.repeat(h, rep, axis=1) @ wh_f
+            c, h = cell(gates, c)
+            hs.append(h)
+        h_fwd = select_last(hs)
+
+        # backward direction's output at the last valid position is its
+        # first step: one cell application on x[v-1] from the zero state
+        # (h0 = 0 elides the recurrent matmul; wh still exists for
+        # checkpoint-shape parity with a full BiLSTM)
+        wx_b, wh_b, b_b = gate_params("bwd")
+        del wh_b
+        hs_b = [
+            cell(x @ wx_b + b_b, jnp.zeros((m, x.shape[1], h1), self.dtype))[1]
+            for x in hop_x
+        ]
+        h_bwd = select_last(hs_b)
+        return jnp.concatenate([h_fwd, h_bwd], axis=-1).astype(jnp.float32)
 
 
 class CAWNNet(nn.Module):
@@ -192,42 +303,51 @@ class CAWNNet(nn.Module):
         self, tables: FeatureTables, inputs: CAWNInputs, *, train: bool = False
     ) -> jnp.ndarray:
         m, w, lp1 = inputs.walk_ids.shape
-        counts = walk_position_counts(
-            inputs.walk_ids, inputs.hop_ids, tables.node.shape[0]
-        )
+        hop_counts = hop_position_counts(inputs.hop_ids, tables.node.shape[0])
 
         pos_fc1 = nn.Dense(self.position_feat_dim, dtype=self.dtype,
                            name="position_fc1")
         pos_fc2 = nn.Dense(self.position_feat_dim, dtype=self.dtype,
                            name="position_fc2")
-        pos_feat = pos_fc2(nn.relu(pos_fc1(counts.astype(self.dtype)))).sum(
-            axis=-2
-        ).astype(jnp.float32)
-        # (4B, W, L+1, position_feat_dim)
+        # (4B, K^st, position_feat_dim) per hop; summed over src/dst roots
+        pos_hop = tuple(
+            pos_fc2(nn.relu(pos_fc1(c.astype(self.dtype)))).sum(axis=-2)
+            for c in hop_counts
+        )
 
-        # ---- per-step walk features
+        # ---- per-hop walk-step features [node || time || edge || position]
         time_enc = TimeEncoder(self.time_feat_dim, name="time_encoder")
-        node_feat = tables.node[inputs.walk_ids]
-        edge_feat = tables.edge[inputs.walk_eids]
-        dt = (inputs.walk_ts[:, :, :1] - inputs.walk_ts).astype(jnp.float32)
-        time_feat = time_enc(dt)
-        combined = jnp.concatenate(
-            [node_feat, time_feat, edge_feat, pos_feat], axis=-1
-        )  # (4B, W, L+1, input_dim)
-
+        combined_hop = []
+        for st in range(lp1):
+            node_f = tables.node[inputs.hop_ids[st]]
+            edge_f = tables.edge[inputs.hop_eids[st]]
+            dt = (inputs.query_ts[:, None] - inputs.hop_ts[st]).astype(
+                jnp.float32
+            )
+            combined_hop.append(
+                jnp.concatenate(
+                    [
+                        node_f.astype(self.dtype),
+                        time_enc(dt).astype(self.dtype),
+                        edge_f.astype(self.dtype),
+                        pos_hop[st],
+                    ],
+                    axis=-1,
+                )
+            )
         lengths = (inputs.walk_ids != 0).sum(axis=-1)  # (4B, W)
-        input_dim = combined.shape[-1]
+
+        input_dim = combined_hop[0].shape[-1]
         attention_dim = input_dim // 2
         if attention_dim % self.num_walk_heads != 0:
             attention_dim += self.num_walk_heads - attention_dim % self.num_walk_heads
 
-        flat = lambda x: x.reshape(m * w, lp1, x.shape[-1])
-        feat_enc = BiLSTMEncoder(input_dim, dtype=self.dtype,
-                                 name="feature_encoder")
-        pos_enc = BiLSTMEncoder(self.position_feat_dim, dtype=self.dtype,
-                                name="position_encoder")
-        enc_feat = feat_enc(flat(combined), lengths.reshape(-1)).reshape(m, w, -1)
-        enc_pos = pos_enc(flat(pos_feat), lengths.reshape(-1)).reshape(m, w, -1)
+        feat_enc = TreeBiLSTMEncoder(input_dim, dtype=self.dtype,
+                                     name="feature_encoder")
+        pos_enc = TreeBiLSTMEncoder(self.position_feat_dim, dtype=self.dtype,
+                                    name="position_encoder")
+        enc_feat = feat_enc(combined_hop, lengths)  # (4B, W, ~input_dim)
+        enc_pos = pos_enc(pos_hop, lengths)  # (4B, W, ~pos_dim)
         x = jnp.concatenate([enc_feat, enc_pos], axis=-1)
         x = nn.Dense(attention_dim, dtype=self.dtype, name="projection_0")(
             x.astype(self.dtype)
@@ -282,18 +402,15 @@ class CAWN:
         )
         hop_ts = (ts[:, None],) + tuple(blk.ts.reshape(m, -1) for blk in blocks)
 
-        def to_walks(hops):
-            cols = []
-            for h, arr in enumerate(hops):
-                cols.append(jnp.repeat(arr, w // arr.shape[1], axis=1))
-            return jnp.stack(cols, axis=2)  # (M, W, L+1)
-
+        walk_ids = jnp.stack(
+            [_expand_to_walks(arr, w) for arr in hop_ids], axis=2
+        )  # (M, W, L+1)
         return CAWNInputs(
-            walk_ids=to_walks(hop_ids),
-            walk_eids=to_walks(hop_eids),
-            walk_ts=to_walks(hop_ts),
+            walk_ids=walk_ids,
             query_ts=ts,
             hop_ids=hop_ids,
+            hop_eids=hop_eids,
+            hop_ts=hop_ts,
         )
 
     def init(self, key: jax.Array, tables: FeatureTables, csr: TemporalCSR):

@@ -131,6 +131,11 @@ class TemporalMultiHeadAttention(nn.Module):
             d, use_bias=bias, dtype=self.dtype, name=name
         )
         q = dense(query_dim, "query_projection", False)(query)
+        # NOTE: fusing key+value into one 2*query_dim Dense measured SLOWER
+        # (the split of the 544-wide output into two 272-wide halves is a
+        # lane-unaligned repack, 2.1 ms/step at the TGAT operating point —
+        # scripts/trace_ops.py); separate projections let each output keep
+        # its own tile layout.
         key = dense(query_dim, "key_projection", False)(kv)
         val = dense(query_dim, "value_projection", False)(kv)
 

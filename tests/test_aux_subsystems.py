@@ -97,7 +97,7 @@ def test_fast_prng_subprocess():
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"}, cwd="/root/repo", timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"}, cwd="/root/repo", timeout=600,
     )
     assert out.returncode == 0, out.stderr
     assert "OK" in out.stdout
