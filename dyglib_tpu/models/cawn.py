@@ -373,6 +373,7 @@ class CAWN:
     sample_strategy: str = "time_interval_aware"
     compute_dtype: str = "float32"  # "bfloat16" for MXU single-pass compute
     has_state: bool = False
+    pair_independent: bool = False  # position encoder is pair-aware
 
     def __post_init__(self):
         self.module = CAWNNet(

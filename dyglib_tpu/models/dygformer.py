@@ -195,6 +195,7 @@ class DyGFormer:
     time_feat_dim: int = 100
     compute_dtype: str = "float32"  # "bfloat16" for single-pass MXU compute
     has_state: bool = False
+    pair_independent: bool = False  # co-occurrence encoder is pair-aware
     sample_strategy: str = "recent"  # full-history truncation is recency-based
 
     @property

@@ -166,6 +166,7 @@ class GraphMixer:
     time_gap: int = 2000
     sample_strategy: str = "recent"
     has_state: bool = False
+    pair_independent: bool = True  # see TGAT: trainer reuses src as neg_src
     # node-encoder aggregation: "prefix" uses the CSR's per-segment feature
     # prefix sums (O(1) per query; requires the `recent` strategy, where the
     # time_gap window is a contiguous CSR range); "gather" materializes the

@@ -306,6 +306,9 @@ class MemoryModel:
     sample_strategy: str = "recent"
     time_shifts: TimeShiftStats = TimeShiftStats()
     has_state: bool = True
+    # embeddings are row-independent given the shared memory view, so the
+    # trainer may reuse the src embedding for neg_src (= src in training)
+    pair_independent: bool = True
 
     def __post_init__(self):
         self.module = MemoryModelNet(

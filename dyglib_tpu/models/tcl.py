@@ -107,6 +107,7 @@ class TCL:
     time_feat_dim: int = 100
     sample_strategy: str = "recent"
     has_state: bool = False
+    pair_independent: bool = False  # src<->dst cross-attention is pair-aware
 
     def __post_init__(self):
         self.module = TCLNet(

@@ -115,6 +115,10 @@ class TGAT:
     compute_dtype: str = "float32"
     sample_strategy: str = "recent"
     has_state: bool = False
+    # embeddings depend only on (node, time): the trainer may embed the
+    # training triple [src, dst, neg_dst] and reuse src for neg_src
+    # (the reference trains with neg_src = src, train_link_prediction.py:165)
+    pair_independent: bool = True
 
     def __post_init__(self):
         self.module = TGATNet(
