@@ -85,6 +85,21 @@ class MLPClassifier(nn.Module):
         return nn.Dense(1, name="fc3")(x)
 
 
+class _RawKernel(nn.Module):
+    """A bare (in_dim, out_dim) kernel parameter with nn.Dense's param path
+    ({name}/kernel) and init — lets the fused-attention path consume raw
+    weights while staying checkpoint-compatible with the Dense path."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim)
+        )
+
+
 class TemporalMultiHeadAttention(nn.Module):
     """Single-query temporal attention over K sampled neighbors
     (modules.py:99-206).
@@ -96,11 +111,17 @@ class TemporalMultiHeadAttention(nn.Module):
 
     ``dtype`` selects the computation dtype (bfloat16 for MXU single-pass);
     parameters stay float32 and the output is cast back to float32.
+
+    ``use_pallas`` routes the concat -> K/V projection -> masked softmax ->
+    weighted sum through the fused Pallas kernel
+    (ops/pallas/temporal_attention.py) — same math, same parameter tree,
+    intermediates kept in VMEM instead of HBM.
     """
 
     num_heads: int = 2
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -131,6 +152,38 @@ class TemporalMultiHeadAttention(nn.Module):
             d, use_bias=bias, dtype=self.dtype, name=name
         )
         q = dense(query_dim, "query_projection", False)(query)
+
+        if self.use_pallas:
+            from ..ops.pallas.temporal_attention import temporal_attention
+
+            kv_dim = kv.shape[-1]
+            wk = _RawKernel(kv_dim, query_dim, name="key_projection")()
+            wv = _RawKernel(kv_dim, query_dim, name="value_projection")()
+            if train and self.dropout > 0.0:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.dropout,
+                    (b, self.num_heads, k),
+                ).astype(jnp.float32) / (1.0 - self.dropout)
+            else:
+                keep = jnp.ones((b, self.num_heads, k), jnp.float32)
+            out, scores = temporal_attention(
+                q.astype(jnp.float32),
+                neighbor_node_features.astype(jnp.float32),
+                neighbor_edge_features.astype(jnp.float32),
+                neighbor_time_features.astype(jnp.float32),
+                neighbor_mask.astype(jnp.float32), keep, wk, wv,
+                self.num_heads,
+            )
+            out = nn.Dropout(self.dropout, deterministic=not train)(
+                nn.Dense(query_dim, dtype=self.dtype, name="residual_fc")(
+                    out.astype(self.dtype)
+                )
+            )
+            out = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(
+                (out + residual).astype(jnp.float32)
+            )
+            return out, scores
+
         # NOTE: fusing key+value into one 2*query_dim Dense measured SLOWER
         # (the split of the 544-wide output into two 272-wide halves is a
         # lane-unaligned repack, 2.1 ms/step at the TGAT operating point —
