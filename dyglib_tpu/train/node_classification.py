@@ -79,11 +79,21 @@ class NodeClassificationTrainer:
 
     # ---------------------------------------------------------------- jitted
     def _src_embeddings(self, csr, batch, key, state):
-        """Frozen-backbone source embeddings (+ state transition)."""
+        """Frozen-backbone source embeddings (+ state transition).
+
+        Pair-aware backbones (TCL/CAWN/DyGFormer) need the quad row layout
+        [src||dst||src||dst]; pair-independent ones embed only the rows
+        actually consumed — src alone when stateless, src+dst when the
+        memory commit needs both.
+        """
         src, dst, ts, eid, valid = batch
-        ids4 = jnp.concatenate([src, dst, src, dst])  # quad layout, reuse pairs
-        ts4 = jnp.tile(ts, 4)
-        inputs = self.backbone.sample(csr, ids4, ts4, key)
+        if getattr(self.backbone, "pair_independent", False):
+            reps = 2 if self.has_state else 1
+        else:
+            reps = 4
+        ids = jnp.concatenate([src, dst, src, dst][:reps])
+        tsx = jnp.tile(ts, reps)
+        inputs = self.backbone.sample(csr, ids, tsx, key)
         if self.has_state:
             embs4, new_state = self.backbone.forward_and_maybe_commit(
                 self.backbone_params, self.tables, state, inputs,
