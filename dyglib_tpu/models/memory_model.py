@@ -65,12 +65,20 @@ class MemoryState(NamedTuple):
 
 
 class MemoryModelInputs(NamedTuple):
-    ids4: jnp.ndarray  # (4B,) [src || dst || neg_src || neg_dst]
-    ts4: jnp.ndarray  # (4B,) int32
+    ids4: jnp.ndarray  # (M,) query ids, e.g. [src || dst || neg_src || neg_dst]
+    ts4: jnp.ndarray  # (M,) int32
     hop_ids: tuple  # TGN/DyRep: hop tensors over ids4 (level 0 = ids4)
     hop_eids: tuple
     hop_ts: tuple
     hop_mask: tuple
+    # per-row role flags: False = source role, True = destination role.
+    # JODIE's time-shift normalization is per ROLE (MemoryModel.py:111-124),
+    # and the trainer feeds embed() three different row layouts (quad
+    # [s||d||ns||nd], dedup triple [s||d||nd], node-cls pair [s||d]), so the
+    # layout must be explicit — inferring it from the row count silently
+    # mis-assigns roles for non-quad layouts. None = quad inference,
+    # permitted only when the row count is divisible by 4 (init paths).
+    roles: jnp.ndarray | None = None
 
 
 class TimeShiftStats(NamedTuple):
@@ -97,6 +105,22 @@ def compute_src_dst_node_time_shifts(
         float(np.mean(shifts[0])), float(np.std(shifts[0])),
         float(np.mean(shifts[1])), float(np.std(shifts[1])),
     )
+
+
+def segment_roles(b: int, layout: tuple[str, ...]) -> jnp.ndarray:
+    """Per-row role flags for a batch of B edges laid out as concatenated
+    segments, e.g. ``("src", "dst", "dst")`` for the dedup triple
+    [src || dst || neg_dst]. True = destination role."""
+    flags = [s == "dst" for s in layout]
+    for s in layout:
+        if s not in ("src", "dst"):
+            raise ValueError(f"unknown role {s!r}")
+    return jnp.repeat(jnp.asarray(flags, bool), b, total_repeat_length=b * len(flags))
+
+
+def quad_roles(b: int) -> jnp.ndarray:
+    """Roles for the canonical quad layout [src || dst || neg_src || neg_dst]."""
+    return segment_roles(b, ("src", "dst", "src", "dst"))
 
 
 class MemoryModelNet(nn.Module):
@@ -159,32 +183,31 @@ class MemoryModelNet(nn.Module):
         memory, last_update = self.memory_view(state)
 
         if self.model_name == "JODIE":
-            b = inputs.ids4.shape[0] // 4
             dt = (
                 inputs.ts4.astype(jnp.float32)
                 - last_update[inputs.ids4].astype(jnp.float32)
             )
-            # [src || dst || neg_src || neg_dst] -> per-role normalization
-            # (MemoryModel.py:114-118)
-            mean = jnp.tile(
-                jnp.repeat(
-                    jnp.asarray(
-                        [self.time_shifts.src_mean, self.time_shifts.dst_mean],
-                        jnp.float32,
-                    ),
-                    b,
-                ),
-                2,
+            # per-ROLE time-delta normalization (MemoryModel.py:114-118):
+            # src-role rows use (src_mean, src_std), dst-role rows
+            # (dst_mean, dst_std), per the explicit layout in inputs.roles
+            roles = inputs.roles
+            if roles is None:
+                m = inputs.ids4.shape[0]
+                if m % 4 != 0:
+                    raise ValueError(
+                        "JODIE embed needs explicit inputs.roles for "
+                        f"non-quad layouts (got {m} rows)"
+                    )
+                roles = quad_roles(m // 4)
+            mean = jnp.where(
+                roles,
+                jnp.float32(self.time_shifts.dst_mean),
+                jnp.float32(self.time_shifts.src_mean),
             )
-            std = jnp.tile(
-                jnp.repeat(
-                    jnp.asarray(
-                        [self.time_shifts.src_std, self.time_shifts.dst_std],
-                        jnp.float32,
-                    ),
-                    b,
-                ),
-                2,
+            std = jnp.where(
+                roles,
+                jnp.float32(self.time_shifts.dst_std),
+                jnp.float32(self.time_shifts.src_std),
             )
             dt = (dt - mean) / std
             proj = self.time_projection(dt[:, None])

@@ -308,9 +308,22 @@ def run_node_classification_evaluation(args) -> dict:
             jax.device_put(head_ckpt["state"])
             if head_ckpt["state"] is not None else None
         )
-        # replay train+val chronologically to warm memory, then test
+        # memory models: the head checkpoint normally carries the post-val
+        # memory state; if it is absent, rebuild it by replaying train+val
+        # chronologically (every edge commits during eval sweeps) so test
+        # never runs on cold memory
         if trainer.has_state and state is None:
+            logger.warning(
+                "checkpoint has no memory state — replaying train+val "
+                "chronologically to warm memory before test"
+            )
             state = trainer.init_state()
+            _, state = trainer.evaluate(
+                head_params, nc_data.train, state=state, salt=2
+            )
+            _, state = trainer.evaluate(
+                head_params, nc_data.val, state=state, salt=3
+            )
         test_metrics, _ = trainer.evaluate(
             head_params, nc_data.test, state=state, salt=1
         )

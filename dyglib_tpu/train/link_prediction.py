@@ -87,10 +87,20 @@ class TrainConfig:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """Adam / SGD / RMSprop, matching create_optimizer (utils/utils.py:50-68)."""
+    """Adam / SGD / RMSprop, matching create_optimizer (utils/utils.py:50-68).
+
+    torch.optim.Adam's weight_decay is COUPLED L2-into-gradient (added to the
+    gradient BEFORE the moment updates), not AdamW's decoupled decay — so the
+    decay transform must run before scale_by_adam, not after
+    (tests/test_aux_subsystems.py::test_coupled_weight_decay_matches_torch).
+    """
     if cfg.optimizer == "adam":
         if cfg.weight_decay:
-            return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+            return optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.scale_by_adam(),
+                optax.scale(-cfg.learning_rate),
+            )
         return optax.adam(cfg.learning_rate)
     if cfg.optimizer == "sgd":
         return optax.sgd(cfg.learning_rate)
@@ -189,7 +199,7 @@ class LinkPredictionTrainer:
             cands = getattr(backbone, "bucket_candidates", None)
             if cands and len(cands) > 1:
                 self._buckets = tuple(cands)
-        self._host_hist: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._host_hist: dict[int, tuple[np.ndarray, np.ndarray, int]] = {}
 
         self.optim = make_optimizer(cfg)
         self._build_steps()
@@ -221,6 +231,14 @@ class LinkPredictionTrainer:
             inputs = self.backbone.sample(csr, ids, tsx, sample_key)
         else:
             inputs = self.backbone.sample(csr, ids, tsx, sample_key, seq_len=bucket)
+        if self.has_state:
+            # explicit per-row roles: JODIE's time-shift normalization is
+            # per role and must track the actual layout (quad vs dedup
+            # triple), never be inferred from the row count
+            from ..models.memory_model import segment_roles
+
+            layout = ("src", "dst", "dst") if dedup else ("src", "dst", "src", "dst")
+            inputs = inputs._replace(roles=segment_roles(b, layout))
         rngs = {"dropout": dropout_key} if train else None
 
         if self.has_state:
@@ -497,19 +515,30 @@ class LinkPredictionTrainer:
             return None
         key = id(csr)
         if key not in self._host_hist:
-            self._host_hist[key] = (np.asarray(csr.offsets), np.asarray(csr.ts))
-        offsets, tsarr = self._host_hist[key]
-        tk = time_keys(b.ts)
-        mx = 0
+            # composite (node, time) keys: CSR entries are grouped by node id
+            # (ascending) and time-sorted within each segment, so
+            # node * base + ts is GLOBALLY sorted and one batched
+            # searchsorted answers all 4B strictly-before counts at once
+            offsets = np.asarray(csr.offsets, dtype=np.int64)
+            tsarr = np.asarray(csr.ts, dtype=np.int64)
+            base = int(tsarr.max()) + 2 if tsarr.size else 2
+            node_of = np.repeat(
+                np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets)
+            )
+            self._host_hist[key] = (offsets, node_of * base + tsarr, base)
+        offsets, comp, base = self._host_hist[key]
+        tk = np.asarray(time_keys(b.ts), dtype=np.int64)
+        ids = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in (b.src, b.dst, neg_src, neg_dst)]
+        )
+        # clamp query times into the key range: any t beyond the stored max
+        # selects the whole segment either way
+        qt = np.minimum(np.tile(tk, 4), base - 1)
+        counts = np.searchsorted(comp, ids * base + qt, side="left") - offsets[ids]
+        mx = int(counts.max()) if counts.size else 0
         cap = self._buckets[-1] - 1  # counts beyond maxlen-1 are truncated
-        for ids in (b.src, b.dst, neg_src, neg_dst):
-            for n, t in zip(ids, tk):
-                lo, hi = int(offsets[n]), int(offsets[n + 1])
-                c = int(np.searchsorted(tsarr[lo:hi], t, side="left"))
-                if c > mx:
-                    mx = c
-                    if mx >= cap:
-                        return None
+        if mx >= cap:
+            return None
         needed = 1 + mx
         bucket = next(c for c in self._buckets if c >= needed)
         return None if bucket == self._buckets[-1] else bucket

@@ -95,6 +95,13 @@ class NodeClassificationTrainer:
         tsx = jnp.tile(ts, reps)
         inputs = self.backbone.sample(csr, ids, tsx, key)
         if self.has_state:
+            from ..models.memory_model import segment_roles
+
+            # [src || dst] 2-segment layout: explicit roles for JODIE's
+            # per-role time-shift normalization (MemoryModel.py:111-124)
+            inputs = inputs._replace(
+                roles=segment_roles(src.shape[0], ("src", "dst", "src", "dst")[:reps])
+            )
             embs4, new_state = self.backbone.forward_and_maybe_commit(
                 self.backbone_params, self.tables, state, inputs,
                 src, dst, ts, eid, valid,

@@ -101,3 +101,53 @@ def test_fast_prng_subprocess():
     )
     assert out.returncode == 0, out.stderr
     assert "OK" in out.stdout
+
+
+def test_coupled_weight_decay_matches_torch():
+    """make_optimizer's weight_decay must reproduce torch.optim.Adam's COUPLED
+    L2-into-gradient semantics (utils/utils.py:50-68), not AdamW's decoupled
+    decay — a silent parity break if anyone sets --weight_decay > 0."""
+    import jax.numpy as jnp
+    import optax
+    import pytest
+    import torch
+
+    from dyglib_tpu.train.link_prediction import TrainConfig, make_optimizer
+
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(5, 3)).astype(np.float32)
+    lr, wd, steps = 1e-2, 0.3, 5
+
+    # torch: Adam with coupled weight decay on a fixed synthetic gradient
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+    grads = [rng.normal(size=w0.shape).astype(np.float32) for _ in range(steps)]
+    for g in grads:
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    # ours
+    cfg = TrainConfig(learning_rate=lr, weight_decay=wd, optimizer="adam")
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6
+    )
+
+    # and that DECOUPLED decay (adamw) would NOT match — the test is sharp
+    tx2 = optax.adamw(lr, weight_decay=wd)
+    params2 = {"w": jnp.asarray(w0)}
+    state2 = tx2.init(params2)
+    for g in grads:
+        updates2, state2 = tx2.update({"w": jnp.asarray(g)}, state2, params2)
+        params2 = optax.apply_updates(params2, updates2)
+    with pytest.raises(AssertionError):
+        np.testing.assert_allclose(
+            np.asarray(params2["w"]), tw.detach().numpy(), atol=1e-6
+        )

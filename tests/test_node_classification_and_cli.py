@@ -122,3 +122,48 @@ def test_best_configs_tables():
         ["--model_name", "TGN", "--dataset_name", "reddit", "--load_best_configs"]
     )
     assert args.num_neighbors == 10 and args.num_layers == 1
+
+
+def test_node_cls_evaluation_replays_when_state_missing(workdir):
+    """run_node_classification_evaluation must rebuild memory by replaying
+    train+val chronologically when the head checkpoint carries no state —
+    never silently evaluate test on cold memory."""
+    import pickle
+
+    from dyglib_tpu.runners import run_node_classification_evaluation
+
+    wd, data_root = workdir
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        argv = _argv(
+            data_root, ["--model_name", "JODIE", "--num_neighbors", "10"]
+        )
+        lp_args = get_link_prediction_args(argv)
+        run_link_prediction_training(lp_args)
+        nc_args = get_node_classification_args(argv)
+        run_node_classification_training(nc_args)
+
+        head_ckpt = (
+            "saved_models/JODIE/synthetic/JODIE_seed0/"
+            "JODIE_seed0_node_classification.pkl"
+        )
+        with open(head_ckpt, "rb") as f:
+            payload = pickle.load(f)
+        auc_with_state = run_node_classification_evaluation(nc_args)
+        assert np.isfinite(auc_with_state["test"]["roc_auc"][0])
+
+        # strip the memory state and re-evaluate: the replay path must run
+        payload["state"] = None
+        with open(head_ckpt, "wb") as f:
+            pickle.dump(payload, f)
+        auc_replayed = run_node_classification_evaluation(nc_args)
+        a = auc_replayed["test"]["roc_auc"][0]
+        assert np.isfinite(a) and 0.0 <= a <= 1.0
+        # the replayed state reproduces the saved state's metrics exactly:
+        # both are the post-val chronological memory under eval determinism
+        np.testing.assert_allclose(
+            a, auc_with_state["test"]["roc_auc"][0], atol=1e-6
+        )
+    finally:
+        os.chdir(cwd)

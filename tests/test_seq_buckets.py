@@ -108,3 +108,50 @@ def test_buckets_off_by_config(link_data, tmp_path):
 
     b = next(iter(chronological_batches(link_data.train, 100)))
     assert trainer._pick_bucket(trainer.train_csr, b, b.src, b.dst) is None
+
+
+def test_pick_bucket_matches_naive_oracle(link_data, tmp_path):
+    """The batched-searchsorted _pick_bucket must match a per-row python
+    oracle (strictly-before history counts, +1 target, smallest covering
+    bucket) over many random query batches."""
+    backbone = DyGFormer(max_input_sequence_length=64, patch_size=2, num_layers=1)
+    cfg = TrainConfig(batch_size=32, sequence_buckets=True)
+    trainer = LinkPredictionTrainer(
+        backbone, link_data, cfg, str(tmp_path / "ck.pkl")
+    )
+    csr = trainer.full_csr
+    offsets = np.asarray(csr.offsets)
+    tsarr = np.asarray(csr.ts)
+    buckets = trainer._buckets
+    assert buckets and len(buckets) > 1
+
+    rng = np.random.default_rng(0)
+    stream = link_data.full
+
+    class FakeBatch:
+        pass
+
+    for trial in range(20):
+        idx = rng.integers(0, stream.num_interactions, size=16)
+        b = FakeBatch()
+        b.src = stream.src[idx]
+        b.dst = stream.dst[idx]
+        b.ts = stream.ts[idx]
+        neg_src = stream.src[rng.integers(0, stream.num_interactions, size=16)]
+        neg_dst = stream.dst[rng.integers(0, stream.num_interactions, size=16)]
+
+        got = trainer._pick_bucket(csr, b, neg_src, neg_dst)
+
+        tk = np.asarray(time_keys(b.ts))
+        mx = 0
+        for ids in (b.src, b.dst, neg_src, neg_dst):
+            for n, t in zip(ids, tk):
+                lo, hi = int(offsets[n]), int(offsets[n + 1])
+                c = int(np.searchsorted(tsarr[lo:hi], t, side="left"))
+                mx = max(mx, c)
+        if mx >= buckets[-1] - 1:
+            want = None
+        else:
+            w = next(c for c in buckets if c >= 1 + mx)
+            want = None if w == buckets[-1] else w
+        assert got == want, (trial, got, want, mx)
