@@ -165,10 +165,32 @@ class MemoryModelNet(nn.Module):
 
     def memory_view(self, state: MemoryState) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Lazily-updated (memory, last_update) over ALL nodes
-        (get_updated_memories, MemoryModel.py:170-191, 461-487)."""
+        (get_updated_memories, MemoryModel.py:170-191, 461-487).
+
+        O(N) per call — kept as the parity oracle and for checkpoint
+        materialization; the hot path uses :meth:`view_rows`."""
         upd = self.apply_cell(state.msg, state.memory)
         memory = jnp.where(state.msg_valid[:, None], upd, state.memory)
         last_update = jnp.where(state.msg_valid, state.msg_time, state.last_update)
+        return memory, last_update
+
+    def view_rows(
+        self, state: MemoryState, rows: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Lazily-updated (memory, last_update) for the GATHERED rows only.
+
+        Exact sparse equivalent of ``memory_view(state)[...][rows]``: the
+        reference's get_updated_memories over ALL nodes changes only nodes
+        with pending messages (MemoryModel.py:472-481), and the cell is
+        row-wise, so gather-then-cell == cell-then-gather. This makes the
+        per-step cost O(rows gathered) instead of O(N) — the difference
+        between pod-scaling and the dense-cell wall at 1M+ nodes."""
+        mem = state.memory[rows]
+        msg = state.msg[rows]
+        valid = state.msg_valid[rows]
+        upd = self.apply_cell(msg, mem)
+        memory = jnp.where(valid[..., None], upd, mem)
+        last_update = jnp.where(valid, state.msg_time[rows], state.last_update[rows])
         return memory, last_update
 
     def embed(
@@ -179,14 +201,13 @@ class MemoryModelNet(nn.Module):
         *,
         train: bool = False,
     ) -> jnp.ndarray:
-        """Embeddings for ids4 from the lazy memory view -> (4B, D)."""
-        memory, last_update = self.memory_view(state)
+        """Embeddings for ids4 from the lazy memory view -> (4B, D).
 
+        Sparse-exact: the lazy view is materialized only for the gathered
+        rows (view_rows), never over all N nodes."""
         if self.model_name == "JODIE":
-            dt = (
-                inputs.ts4.astype(jnp.float32)
-                - last_update[inputs.ids4].astype(jnp.float32)
-            )
+            mem_rows, lu_rows = self.view_rows(state, inputs.ids4)
+            dt = inputs.ts4.astype(jnp.float32) - lu_rows.astype(jnp.float32)
             # per-ROLE time-delta normalization (MemoryModel.py:114-118):
             # src-role rows use (src_mean, src_std), dst-role rows
             # (dst_mean, dst_std), per the explicit layout in inputs.roles
@@ -211,14 +232,16 @@ class MemoryModelNet(nn.Module):
             )
             dt = (dt - mean) / std
             proj = self.time_projection(dt[:, None])
-            emb = memory[inputs.ids4] * (1.0 + proj)
+            emb = mem_rows * (1.0 + proj)
             return self.embed_dropout(emb, deterministic=not train)
 
         # TGN / DyRep: unrolled graph attention, layer-0 = memory + raw
         L = self.num_layers
         flat_ids = [ids.reshape(-1) for ids in inputs.hop_ids]
         flat_ts = [ts.reshape(-1) for ts in inputs.hop_ts]
-        base = [memory[ids] + tables.node[ids] for ids in flat_ids]
+        base = [
+            self.view_rows(state, ids)[0] + tables.node[ids] for ids in flat_ids
+        ]
         feats = list(base)
         for l in range(1, L + 1):
             new_feats = []
@@ -505,10 +528,9 @@ class MemoryModel:
         )
         out = raw
         if self.model_name == "DyRep":
-            view_mem, _ = self.module.apply(
-                params, state, method=MemoryModelNet.memory_view
+            out, _ = self.module.apply(
+                params, state, inputs.ids4, method=MemoryModelNet.view_rows
             )
-            out = view_mem[inputs.ids4]
         return out, raw
 
     def forward_and_maybe_commit(

@@ -242,3 +242,47 @@ def test_check_memory_order_clean_run(link_data, tmp_path):
             backbone, d, cfg, str(tmp_path / f"order{scan}.pkl")
         )
         trainer.fit(seed=0, log=lambda *a: None)  # raises on violation
+
+
+@pytest.mark.parametrize("model_name", ["TGN", "DyRep", "JODIE"])
+def test_view_rows_matches_dense_memory_view(model_name, setup):
+    """view_rows (sparse-exact, O(rows)) must equal the dense O(N)
+    memory_view gathered at the same rows — including rows with and without
+    pending messages and duplicate rows."""
+    from dyglib_tpu.models.memory_model import MemoryModelNet
+
+    d, tables, csr = setup
+    m, params, state = _make(model_name, setup)
+    b = 16
+    src = jnp.asarray(d.train.src[:b], jnp.int32)
+    dst = jnp.asarray(d.train.dst[:b], jnp.int32)
+    ts = jnp.asarray(d.train.ts[:b], jnp.int32)
+    eid = jnp.asarray(d.train.eid[:b], jnp.int32)
+    valid = jnp.ones((b,), bool)
+    ids4 = jnp.concatenate([src, dst, src, dst])
+    inputs = m.sample(csr, ids4, jnp.tile(ts, 4), jax.random.PRNGKey(1))
+    inputs = inputs._replace(
+        roles=jnp.tile(jnp.repeat(jnp.asarray([False, True]), b), 2)
+    )
+    _, state1 = m.forward_and_maybe_commit(
+        params, tables, state, inputs, src, dst, ts, eid, valid
+    )
+    # rows: touched + untouched + duplicates + the dump row
+    n = state1.memory.shape[0] - 1
+    rows = jnp.asarray(
+        np.concatenate([
+            np.asarray(src), np.asarray(src),
+            np.arange(min(32, n)), [n],
+        ]).astype(np.int32)
+    )
+    dense_mem, dense_last = m.memory_view(params, state1)
+    sparse_mem, sparse_last = m.module.apply(
+        params, state1, rows, method=MemoryModelNet.view_rows
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense_mem)[np.asarray(rows)], np.asarray(sparse_mem),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dense_last)[np.asarray(rows)], np.asarray(sparse_last)
+    )
