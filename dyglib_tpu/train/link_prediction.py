@@ -174,6 +174,10 @@ class LinkPredictionTrainer:
             time_scaling_factor=cfg.time_scaling_factor, with_tia=with_tia,
             feat_prefix_of=fpx,
         )
+        # pre-placement CSR reference for init_params: under multi-host the
+        # mesh-placed CSR is a global (non-addressable) array that cannot be
+        # device_put back to one local CPU device
+        self._local_train_csr = self.train_csr
         if mesh is not None:  # adjacency replicated on every device
             self.train_csr = jax.device_put(self.train_csr, self._repl)
             self.full_csr = jax.device_put(self.full_csr, self._repl)
@@ -370,12 +374,18 @@ class LinkPredictionTrainer:
         # remote-compiled TPU platform each tiny eager op would otherwise
         # pay a full compile round-trip (minutes of wall clock for fresh
         # shapes); params transfer to the default device afterwards
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             key = jax.random.PRNGKey(seed)
             k_backbone, k_head = jax.random.split(key)
-            cpu_tables = jax.device_put(self.tables, cpu)
-            cpu_csr = jax.device_put(self.train_csr, cpu)
+            # build CPU copies from HOST data, not the placed arrays: under
+            # multi-host the mesh-placed tables/CSR are global arrays that
+            # are not fully addressable from one process
+            cpu_tables = FeatureTables(
+                node=jnp.asarray(self.data.node_raw_features),
+                edge=jnp.asarray(self.data.edge_raw_features),
+            )
+            cpu_csr = jax.device_put(self._local_train_csr, cpu)
             params = {
                 "backbone": self.backbone.init(k_backbone, cpu_tables, cpu_csr),
                 "head": self.head.init(
@@ -387,7 +397,7 @@ class LinkPredictionTrainer:
             opt_state = self.optim.init(params)
         if self.mesh is not None:
             return jax.device_put((params, opt_state), self._repl)
-        return jax.device_put((params, opt_state), jax.devices()[0])
+        return jax.device_put((params, opt_state), jax.local_devices()[0])
 
     def init_state(self):
         state = self.backbone.init_state(self.tables) if self.has_state else None

@@ -155,14 +155,14 @@ class NodeClassificationTrainer:
         )
 
     def init_params(self, seed: int):
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             key = jax.random.PRNGKey(seed)
             head_params = self.head.init(
                 key, jnp.zeros((1, self.tables.node_dim))
             )
             opt_state = self.optim.init(head_params)
-        return jax.device_put((head_params, opt_state), jax.devices()[0])
+        return jax.device_put((head_params, opt_state), jax.local_devices()[0])
 
     def init_state(self):
         return self.backbone.init_state(self.tables) if self.has_state else None
