@@ -71,6 +71,26 @@ class TemporalCSR(NamedTuple):
     # a 25k-lane scalar gather on the sampling hot path, so the bound cut
     # CAWN's tia inverse-CDF search ~2x (scripts/trace_ops.py).
     seg_steps: Optional[jnp.ndarray] = None  # (steps,) int8 placeholder
+    # (FEAT_ENTRY_PAD + M + FEAT_ENTRY_PAD, Dn + De) f32 — per-ENTRY packed
+    # [node_feat[nbr[i]] || edge_feat[eid[i]]] rows in flat CSR order, with
+    # FEAT_ENTRY_PAD zero guard rows on each side. The 'recent' strategy's
+    # sampled windows are CONTIGUOUS flat ranges [hi-k, hi), so with this
+    # table the per-hop feature fetch is Q slice-gathers of (k, D)
+    # contiguous rows instead of Q*k independent row gathers — row gathers
+    # are LATENCY-bound on TPU (~6 ns/row = ~220 GB/s regardless of row
+    # width, xprof-measured), while contiguous slices stream at HBM
+    # bandwidth. Costs (Dn+De)*4 bytes per entry of HBM (duplicates node
+    # features per occurrence), so it is built on demand under a byte
+    # budget; consumers fall back to row gathers without it.
+    feat_entry: Optional[jnp.ndarray] = None
+    # (Dn,) int8 placeholder: its LENGTH is the node-feature width of
+    # feat_entry's packed rows (same pytree-static-int trick as seg_steps)
+    feat_entry_ndim: Optional[jnp.ndarray] = None
+
+    @property
+    def feat_entry_node_dim(self) -> int:
+        assert self.feat_entry_ndim is not None
+        return self.feat_entry_ndim.shape[0]
 
     @property
     def num_nodes(self) -> int:
@@ -91,12 +111,20 @@ class TemporalCSR(NamedTuple):
         return max(1, int(math.ceil(math.log2(m))) + 1)
 
 
+# zero guard rows on each side of feat_entry: window starts hi-k can be
+# negative by up to k, and dynamic_slice must never clamp (clamping would
+# misalign rows against the sampler's right-aligned indices). Bounds every
+# supported window size for the window-fetch path.
+FEAT_ENTRY_PAD = 512
+
+
 def build_temporal_csr(
     stream: EdgeStream,
     num_nodes: int | None = None,
     time_scaling_factor: float = 0.0,
     with_tia: bool = False,
     feat_prefix_of: Optional[np.ndarray] = None,
+    feat_entry_of: Optional[tuple[np.ndarray, np.ndarray]] = None,
 ) -> TemporalCSR:
     """Host-side CSR construction from a chronological edge stream.
 
@@ -156,6 +184,17 @@ def build_temporal_csr(
     if feat_prefix_of is not None:
         feat_prefix = _segment_feature_prefix(offsets, peer, feat_prefix_of)
 
+    feat_entry = None
+    if feat_entry_of is not None:
+        node_f, edge_f = feat_entry_of
+        m = len(peer)
+        dn, de = node_f.shape[1], edge_f.shape[1]
+        feat_entry = np.zeros(
+            (FEAT_ENTRY_PAD + m + FEAT_ENTRY_PAD, dn + de), np.float32
+        )
+        feat_entry[FEAT_ENTRY_PAD : FEAT_ENTRY_PAD + m, :dn] = node_f[peer]
+        feat_entry[FEAT_ENTRY_PAD : FEAT_ENTRY_PAD + m, dn:] = edge_f[eid]
+
     pack = np.stack(
         [
             np.asarray(peer, np.int32),
@@ -177,6 +216,10 @@ def build_temporal_csr(
         nbr_hi=jnp.asarray(nbr_hi, dtype=jnp.int32),
         pack=jnp.asarray(pack),
         seg_steps=jnp.zeros((_segment_steps(offsets),), jnp.int8),
+        feat_entry=None if feat_entry is None else jnp.asarray(feat_entry),
+        feat_entry_ndim=None
+        if feat_entry is None
+        else jnp.zeros((feat_entry_of[0].shape[1],), jnp.int8),
     )
 
 

@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .csr import TemporalCSR
+from .csr import FEAT_ENTRY_PAD, TemporalCSR
 
 
 class NeighborBlock(NamedTuple):
@@ -261,7 +261,8 @@ def sample_multi_hop(
     num_hops: int,
     strategy: str = "recent",
     key: jax.Array | None = None,
-) -> list[NeighborBlock]:
+    return_windows: bool = False,
+) -> list[NeighborBlock] | tuple[list[NeighborBlock], list[jnp.ndarray] | None]:
     """Recursive fan-out: hop h has shape (B, k**h) (utils/utils.py:216-252).
 
     Hop h+1 queries are the flattened ids/times of hop h; padded entries
@@ -271,13 +272,22 @@ def sample_multi_hop(
     (csr.nbr_hi) when available — one gather per row instead of a
     log2(E)-step bisection over the B*k**h fan-out, which dominated TGAT's
     and CAWN's sampling cost.
+
+    ``return_windows``: additionally return the per-hop flat window BASE
+    arrays (start = hi - k, shape = that hop's query shape) for the
+    'recent' strategy, whose sampled indices are exactly start + j — the
+    contiguous ranges the window-fetch feature path
+    (fetch_entry_windows) consumes. None for stochastic strategies.
     """
     blocks: list[NeighborBlock] = []
+    wins: list[jnp.ndarray] = []
     b = node_ids.shape[0]
     lo, hi = window_bounds(csr, node_ids, times)
     for h in range(num_hops):
         sub = None if key is None else jax.random.fold_in(key, h)
         idx, valid = _sampled_indices(csr, lo, hi, k, strategy, sub)
+        if strategy == "recent":
+            wins.append(hi - k)
         blk, nhi = _gather_rows(csr, idx, valid)
         blocks.append(blk)
         if h + 1 == num_hops:
@@ -288,4 +298,33 @@ def sample_multi_hop(
             hi = jnp.where(valid.reshape(b, -1), nhi.reshape(b, -1), lo)
         else:
             _, hi = window_bounds(csr, nids, blk.ts.reshape(b, -1))
+    if return_windows:
+        return blocks, (wins if strategy == "recent" else None)
     return blocks
+
+
+def fetch_entry_windows(
+    csr: TemporalCSR, start: jnp.ndarray, k: int
+) -> jnp.ndarray:
+    """(..., k, Dn+De) rows of csr.feat_entry for contiguous windows.
+
+    ``start``: flat window base per query (hi - k from the 'recent'
+    sampler; may be negative by up to k — absorbed by the table's zero
+    guard rows, so row j is EXACTLY entry start+j, bit-aligned with
+    _recent_indices). Invalid positions return guard zeros or other
+    entries' rows; callers mask with the block's validity mask, which
+    reproduces the row-gather path's id-0 zero rows exactly.
+
+    One (k, D) contiguous slice per query streams at HBM bandwidth where
+    the equivalent k row gathers are latency-bound at ~6 ns/row
+    (scripts/microbench_window_gather.py, xprof-verified).
+    """
+    assert csr.feat_entry is not None, "CSR built without feat_entry"
+    assert k <= FEAT_ENTRY_PAD, f"window k={k} exceeds FEAT_ENTRY_PAD"
+    table = csr.feat_entry
+    d = table.shape[1]
+    flat = start.reshape(-1).astype(jnp.int32) + FEAT_ENTRY_PAD
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(table, (s, 0), (k, d))
+    )(flat)
+    return win.reshape(start.shape + (k, d))

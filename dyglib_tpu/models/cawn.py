@@ -55,7 +55,7 @@ import jax.numpy as jnp
 
 from ..graph.csr import TemporalCSR
 from ..graph.sampler import sample_multi_hop
-from ..nn.modules import TimeEncoder, TransformerEncoder
+from ..nn.modules import TimeEncoder, TorchLinear, TransformerEncoder, uniform_init
 from .base import FeatureTables
 
 
@@ -200,14 +200,6 @@ def _walk_position_counts_join(
     return counts
 
 
-def _block_orthogonal(key, shape, dtype=jnp.float32):
-    """Recurrent-kernel init: one orthogonal (H, H) block per gate."""
-    h, four_h = shape
-    keys = jax.random.split(key, four_h // h)
-    blocks = [nn.initializers.orthogonal()(k, (h, h), dtype) for k in keys]
-    return jnp.concatenate(blocks, axis=1)
-
-
 class TreeBiLSTMEncoder(nn.Module):
     """Packed-sequence BiLSTM over walks, evaluated on the hop tree
     (CAWN.py:358-396). hidden_dim is split across the two directions.
@@ -233,15 +225,11 @@ class TreeBiLSTMEncoder(nn.Module):
         h1 = self.hidden_dim // 2
 
         def gate_params(prefix):
-            wx = self.param(
-                f"{prefix}_wx", nn.initializers.lecun_normal(), (d, 4 * h1)
-            ).astype(self.dtype)
-            wh = self.param(
-                f"{prefix}_wh", _block_orthogonal, (h1, 4 * h1)
-            ).astype(self.dtype)
-            b = self.param(
-                f"{prefix}_b", nn.initializers.zeros, (4 * h1,)
-            ).astype(self.dtype)
+            # torch nn.LSTM init: every weight and bias U(+-1/sqrt(hidden))
+            init = uniform_init(h1 ** -0.5)
+            wx = self.param(f"{prefix}_wx", init, (d, 4 * h1)).astype(self.dtype)
+            wh = self.param(f"{prefix}_wh", init, (h1, 4 * h1)).astype(self.dtype)
+            b = self.param(f"{prefix}_b", init, (4 * h1,)).astype(self.dtype)
             return wx, wh, b
 
         def cell(gates, c):
@@ -305,10 +293,10 @@ class CAWNNet(nn.Module):
         m, w, lp1 = inputs.walk_ids.shape
         hop_counts = hop_position_counts(inputs.hop_ids, tables.node.shape[0])
 
-        pos_fc1 = nn.Dense(self.position_feat_dim, dtype=self.dtype,
-                           name="position_fc1")
-        pos_fc2 = nn.Dense(self.position_feat_dim, dtype=self.dtype,
-                           name="position_fc2")
+        pos_fc1 = TorchLinear(self.position_feat_dim, dtype=self.dtype,
+                              name="position_fc1")
+        pos_fc2 = TorchLinear(self.position_feat_dim, dtype=self.dtype,
+                              name="position_fc2")
         # (4B, K^st, position_feat_dim) per hop; summed over src/dst roots
         pos_hop = tuple(
             pos_fc2(nn.relu(pos_fc1(c.astype(self.dtype)))).sum(axis=-2)
@@ -349,7 +337,7 @@ class CAWNNet(nn.Module):
         enc_feat = feat_enc(combined_hop, lengths)  # (4B, W, ~input_dim)
         enc_pos = pos_enc(pos_hop, lengths)  # (4B, W, ~pos_dim)
         x = jnp.concatenate([enc_feat, enc_pos], axis=-1)
-        x = nn.Dense(attention_dim, dtype=self.dtype, name="projection_0")(
+        x = TorchLinear(attention_dim, dtype=self.dtype, name="projection_0")(
             x.astype(self.dtype)
         )
         x = TransformerEncoder(
@@ -357,7 +345,7 @@ class CAWNNet(nn.Module):
             dtype=self.dtype, name="walk_transformer",
         )(x.astype(jnp.float32), train=train)
         x = x.mean(axis=-2)
-        return nn.Dense(tables.node_dim, name="projection_1")(x)
+        return TorchLinear(tables.node_dim, name="projection_1")(x)
 
 
 @dataclasses.dataclass

@@ -43,7 +43,12 @@ import jax.numpy as jnp
 
 from ..graph.csr import TemporalCSR
 from ..graph.sampler import window_bounds
-from ..nn.modules import LN_EPS, TimeEncoder
+from ..nn.modules import (
+    LN_EPS,
+    TimeEncoder,
+    TorchLinear,
+    xavier_uniform_init,
+)
 from .base import FeatureTables
 
 
@@ -72,11 +77,17 @@ class PreLNTransformerEncoder(nn.Module):
         d = self.attention_dim
         hd = d // self.num_heads
         b, t, _ = x.shape
-        dense = lambda dd, name: nn.Dense(dd, dtype=self.dtype, name=name)
+        # torch nn.MultiheadAttention init: xavier-uniform in_proj with
+        # zero bias, default-Linear out_proj kernel with zero bias
+        attn_proj = lambda name: TorchLinear(
+            d, dtype=self.dtype, name=name,
+            kernel_init_override=xavier_uniform_init, zero_bias=True,
+        )
+        dense = lambda dd, name: TorchLinear(dd, dtype=self.dtype, name=name)
         h = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x).astype(self.dtype)
-        q = dense(d, "q_proj")(h).reshape(b, t, self.num_heads, hd)
-        k = dense(d, "k_proj")(h).reshape(b, t, self.num_heads, hd)
-        v = dense(d, "v_proj")(h).reshape(b, t, self.num_heads, hd)
+        q = attn_proj("q_proj")(h).reshape(b, t, self.num_heads, hd)
+        k = attn_proj("k_proj")(h).reshape(b, t, self.num_heads, hd)
+        v = attn_proj("v_proj")(h).reshape(b, t, self.num_heads, hd)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / jnp.sqrt(
             hd
         ).astype(jnp.float32)
@@ -86,7 +97,9 @@ class PreLNTransformerEncoder(nn.Module):
         hidden = jnp.einsum(
             "bhqk,bkhd->bqhd", scores.astype(self.dtype), v
         ).reshape(b, t, d)
-        hidden = dense(d, "out_proj")(hidden)
+        hidden = TorchLinear(
+            d, dtype=self.dtype, name="out_proj", zero_bias=True
+        )(hidden)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(
             hidden.astype(jnp.float32)
         )
@@ -141,8 +154,8 @@ class DyGFormerNet(nn.Module):
         )
 
         # count -> feature: MLP per channel then sum (DyGFormer.py:396-409)
-        co_fc1 = nn.Dense(ced, name="co_occurrence_fc1")
-        co_fc2 = nn.Dense(ced, name="co_occurrence_fc2")
+        co_fc1 = TorchLinear(ced, name="co_occurrence_fc1")
+        co_fc2 = TorchLinear(ced, name="co_occurrence_fc2")
         co_feat = co_fc2(nn.relu(co_fc1(counts[..., None]))).sum(axis=2)
 
         # ---- raw features
@@ -156,7 +169,7 @@ class DyGFormerNet(nn.Module):
         def patches(x):
             return x.reshape(m, p, self.patch_size * x.shape[-1])
 
-        proj = lambda name: nn.Dense(ced, dtype=self.dtype, name=name)
+        proj = lambda name: TorchLinear(ced, dtype=self.dtype, name=name)
         ch = [
             proj("proj_node")(patches(node_feat).astype(self.dtype)),
             proj("proj_edge")(patches(edge_feat).astype(self.dtype)),
@@ -175,7 +188,7 @@ class DyGFormerNet(nn.Module):
             )(joint, train=train)
         out_l = joint[:, :p, :].mean(axis=1)
         out_r = joint[:, p:, :].mean(axis=1)
-        output = nn.Dense(tables.node_dim, name="output_layer")
+        output = TorchLinear(tables.node_dim, name="output_layer")
         emb_l, emb_r = output(out_l), output(out_r)
         return jnp.concatenate(
             [emb_l[:b], emb_r[:b], emb_l[b:], emb_r[b:]], axis=0

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..graph.csr import TemporalCSR
 from ..graph.sampler import sample_neighbors, window_bounds
-from ..nn.modules import LN_EPS, TimeEncoder
+from ..nn.modules import LN_EPS, TimeEncoder, TorchLinear
 from .base import FeatureTables
 
 
@@ -46,12 +46,12 @@ class FeedForwardNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        h = nn.Dense(int(self.dim_expansion_factor * self.input_dim), name="fc1")(x)
+        h = TorchLinear(int(self.dim_expansion_factor * self.input_dim), name="fc1")(x)
         # exact-erf GELU (torch nn.GELU default), not the tanh approximation
         h = nn.Dropout(self.dropout, deterministic=not train)(
             nn.gelu(h, approximate=False)
         )
-        h = nn.Dense(self.input_dim, name="fc2")(h)
+        h = TorchLinear(self.input_dim, name="fc2")(h)
         return nn.Dropout(self.dropout, deterministic=not train)(h)
 
 
@@ -123,7 +123,7 @@ class GraphMixerNet(nn.Module):
         time_feats = time_enc(dt)  # (B, K, Dt)
         time_feats = jnp.where(inputs.nbr_mask[..., None], time_feats, 0.0)
         x = jnp.concatenate([edge_feats, time_feats], axis=-1)
-        x = nn.Dense(num_channels, name="projection_layer")(x)
+        x = TorchLinear(num_channels, name="projection_layer")(x)
         for i in range(self.num_layers):
             x = MLPMixer(
                 self.num_tokens, num_channels,
@@ -148,7 +148,7 @@ class GraphMixerNet(nn.Module):
             agg = jnp.where(inputs.tg_mask.any(axis=1)[:, None], agg, 0.0)
         node_feat = agg + tables.node[inputs.node_ids]
 
-        return nn.Dense(tables.node_dim, name="output_layer")(
+        return TorchLinear(tables.node_dim, name="output_layer")(
             jnp.concatenate([link_feat, node_feat], axis=-1)
         )
 

@@ -50,7 +50,13 @@ import numpy as np
 
 from ..graph.csr import TemporalCSR
 from ..graph.sampler import sample_multi_hop
-from ..nn.modules import MergeLayer, TemporalMultiHeadAttention, TimeEncoder
+from ..nn.modules import (
+    MergeLayer,
+    TemporalMultiHeadAttention,
+    TimeEncoder,
+    TorchLinear,
+    uniform_init,
+)
 from .base import FeatureTables
 
 
@@ -136,16 +142,25 @@ class MemoryModelNet(nn.Module):
 
     def setup(self):
         self.time_encoder = TimeEncoder(self.time_feat_dim, name="time_encoder")
+        # torch GRUCell/RNNCell init: ALL weights and biases
+        # U(+-1/sqrt(hidden)) — init parity (see TorchLinear)
+        cell_init = dict(
+            kernel_init=uniform_init(self.memory_dim ** -0.5),
+            recurrent_kernel_init=uniform_init(self.memory_dim ** -0.5),
+            bias_init=uniform_init(self.memory_dim ** -0.5),
+        )
         if self.model_name == "TGN":
-            self.memory_cell = nn.GRUCell(features=self.memory_dim, name="memory_cell")
+            self.memory_cell = nn.GRUCell(
+                features=self.memory_dim, name="memory_cell", **cell_init
+            )
         elif self.model_name in ("DyRep", "JODIE"):
             self.memory_cell = nn.SimpleCell(
-                features=self.memory_dim, name="memory_cell"
+                features=self.memory_dim, name="memory_cell", **cell_init
             )
         else:
             raise ValueError(f"unknown memory model {self.model_name!r}")
         if self.model_name == "JODIE":
-            self.time_projection = nn.Dense(self.memory_dim, name="time_projection")
+            self.time_projection = TorchLinear(self.memory_dim, name="time_projection")
             self.embed_dropout = nn.Dropout(self.dropout)
         else:
             self.convs = [

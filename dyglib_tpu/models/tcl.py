@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..graph.csr import TemporalCSR
 from ..graph.sampler import sample_neighbors
-from ..nn.modules import TimeEncoder, TransformerEncoder
+from ..nn.modules import TimeEncoder, TorchLinear, TransformerEncoder, uniform_init
 from .base import FeatureTables
 
 
@@ -55,12 +55,17 @@ class TCLNet(nn.Module):
     ) -> jnp.ndarray:
         d = tables.node_dim
         time_enc = TimeEncoder(self.time_feat_dim, name="time_encoder")
-        depth_emb = nn.Embed(self.num_depths, d, name="depth_embedding")
+        # torch nn.Embedding init is N(0, 1) (flax's default is fan-in
+        # scaled — init parity matters, see TorchLinear)
+        depth_emb = nn.Embed(
+            self.num_depths, d, name="depth_embedding",
+            embedding_init=nn.initializers.normal(1.0),
+        )
 
-        node_f = nn.Dense(d, name="proj_node")(tables.node[inputs.seq_ids])
-        edge_f = nn.Dense(d, name="proj_edge")(tables.edge[inputs.seq_eids])
+        node_f = TorchLinear(d, name="proj_node")(tables.node[inputs.seq_ids])
+        edge_f = TorchLinear(d, name="proj_edge")(tables.edge[inputs.seq_eids])
         dt = (inputs.query_ts[:, None] - inputs.seq_ts).astype(jnp.float32)
-        time_f = nn.Dense(d, name="proj_time")(time_enc(dt))
+        time_f = TorchLinear(d, name="proj_time")(time_enc(dt))
         depth_f = depth_emb(jnp.arange(inputs.seq_ids.shape[1]))
         feats = node_f + edge_f + time_f + depth_f  # (4B, K+1, d)
         masks = inputs.seq_ids != 0  # target position is always valid
@@ -87,7 +92,7 @@ class TCLNet(nn.Module):
             rf_new = transformer(rf_sa, lf_sa, lf_sa, lm, train=train)
             lf, rf = lf_new, rf_new
 
-        output = nn.Dense(d, name="output_layer")
+        output = TorchLinear(d, name="output_layer")
         out_left = output(lf[:, 0, :])
         out_right = output(rf[:, 0, :])
         # scatter back to [src, dst, neg_src, neg_dst] order

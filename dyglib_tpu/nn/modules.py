@@ -28,6 +28,62 @@ import numpy as np
 LN_EPS = 1e-5  # torch nn.LayerNorm default
 
 
+def uniform_init(bound: float):
+    """U(-bound, +bound) initializer (torch's nn.Linear / RNN-cell family)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchLinear(nn.Module):
+    """nn.Dense with torch.nn.Linear's DEFAULT init: kaiming-uniform
+    weight (= U(+-1/sqrt(fan_in)) at torch's a=sqrt(5)) and
+    U(+-1/sqrt(fan_in)) bias.
+
+    The parameter tree is identical to nn.Dense ({name}/kernel, bias), so
+    checkpoints and the weight-transplant parity tests are unaffected —
+    only the INIT DISTRIBUTION changes. That distribution is
+    metrics-visible: the post-LN transformer stacks train measurably
+    slower from flax's lecun-normal/zero-bias defaults (TCL calibration:
+    train loss stuck at ~ln 2 for 10 epochs; with torch init it matches
+    the reference's trajectory — scripts/reference_calibration.py).
+
+    ``kernel_init_override`` serves torch layers whose weights are
+    re-initialized after construction (nn.MultiheadAttention's
+    xavier-uniform in_proj); ``zero_bias`` its zeroed biases.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+    kernel_init_override: object = None
+    zero_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fan_in = x.shape[-1]
+        bound = float(fan_in) ** -0.5
+        kinit = self.kernel_init_override or uniform_init(bound)
+        kernel = self.param("kernel", kinit, (fan_in, self.features))
+        dtype = self.dtype or x.dtype
+        y = x.astype(dtype) @ kernel.astype(dtype)
+        if self.use_bias:
+            binit = (
+                nn.initializers.zeros if self.zero_bias else uniform_init(bound)
+            )
+            bias = self.param("bias", binit, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+def xavier_uniform_init(key, shape, dtype=jnp.float32):
+    """torch nn.init.xavier_uniform_ for a (fan_in, fan_out) kernel."""
+    bound = (6.0 / (shape[0] + shape[1])) ** 0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
 def time_encoder_spectrum(time_dim: int) -> np.ndarray:
     """The fixed 1/10^linspace(0,9,d) frequency init (modules.py:20)."""
     return (1.0 / 10 ** np.linspace(0, 9, time_dim, dtype=np.float32)).reshape(
@@ -65,8 +121,8 @@ class MergeLayer(nn.Module):
     @nn.compact
     def __call__(self, input_1: jnp.ndarray, input_2: jnp.ndarray) -> jnp.ndarray:
         x = jnp.concatenate([input_1, input_2], axis=-1)
-        h = nn.Dense(self.hidden_dim, name="fc1")(x)
-        return nn.Dense(self.output_dim, name="fc2")(nn.relu(h))
+        h = TorchLinear(self.hidden_dim, name="fc1")(x)
+        return TorchLinear(self.output_dim, name="fc2")(nn.relu(h))
 
 
 class MLPClassifier(nn.Module):
@@ -77,12 +133,12 @@ class MLPClassifier(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = nn.Dropout(self.dropout, deterministic=not train)(
-            nn.relu(nn.Dense(80, name="fc1")(x))
+            nn.relu(TorchLinear(80, name="fc1")(x))
         )
         x = nn.Dropout(self.dropout, deterministic=not train)(
-            nn.relu(nn.Dense(10, name="fc2")(x))
+            nn.relu(TorchLinear(10, name="fc2")(x))
         )
-        return nn.Dense(1, name="fc3")(x)
+        return TorchLinear(1, name="fc3")(x)
 
 
 class _RawKernel(nn.Module):
@@ -96,7 +152,8 @@ class _RawKernel(nn.Module):
     @nn.compact
     def __call__(self) -> jnp.ndarray:
         return self.param(
-            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim)
+            "kernel", uniform_init(self.in_dim ** -0.5),
+            (self.in_dim, self.out_dim),
         )
 
 
@@ -148,7 +205,7 @@ class TemporalMultiHeadAttention(nn.Module):
             axis=-1,
         ).astype(self.dtype)  # (B, K, Dk)
 
-        dense = lambda d, name, bias=True: nn.Dense(
+        dense = lambda d, name, bias=True: TorchLinear(
             d, use_bias=bias, dtype=self.dtype, name=name
         )
         q = dense(query_dim, "query_projection", False)(query)
@@ -175,7 +232,7 @@ class TemporalMultiHeadAttention(nn.Module):
                 self.num_heads,
             )
             out = nn.Dropout(self.dropout, deterministic=not train)(
-                nn.Dense(query_dim, dtype=self.dtype, name="residual_fc")(
+                TorchLinear(query_dim, dtype=self.dtype, name="residual_fc")(
                     out.astype(self.dtype)
                 )
             )
@@ -210,7 +267,7 @@ class TemporalMultiHeadAttention(nn.Module):
         out = jnp.einsum("bhln,bhnd->bhld", scores.astype(self.dtype), val)
         out = out.transpose(0, 2, 1, 3).reshape(b, query_dim)
         out = nn.Dropout(self.dropout, deterministic=not train)(
-            nn.Dense(query_dim, dtype=self.dtype, name="residual_fc")(out)
+            TorchLinear(query_dim, dtype=self.dtype, name="residual_fc")(out)
         )
         out = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(
             (out + residual).astype(jnp.float32)
@@ -251,11 +308,17 @@ class TransformerEncoder(nn.Module):
         hd = d // self.num_heads
         b, tq, _ = inputs_query.shape
         tk = inputs_key.shape[1]
-        dense = lambda dd, name: nn.Dense(dd, dtype=self.dtype, name=name)
+        # torch nn.MultiheadAttention init: xavier-uniform in_proj with
+        # ZERO bias, default-Linear out_proj kernel with ZERO bias
+        attn_proj = lambda name: TorchLinear(
+            d, dtype=self.dtype, name=name,
+            kernel_init_override=xavier_uniform_init, zero_bias=True,
+        )
+        dense = lambda dd, name: TorchLinear(dd, dtype=self.dtype, name=name)
 
-        q = dense(d, "q_proj")(inputs_query.astype(self.dtype))
-        key = dense(d, "k_proj")(inputs_key.astype(self.dtype))
-        val = dense(d, "v_proj")(inputs_value.astype(self.dtype))
+        q = attn_proj("q_proj")(inputs_query.astype(self.dtype))
+        key = attn_proj("k_proj")(inputs_key.astype(self.dtype))
+        val = attn_proj("v_proj")(inputs_value.astype(self.dtype))
         q = q.reshape(b, tq, self.num_heads, hd).transpose(0, 2, 1, 3)
         key = key.reshape(b, tk, self.num_heads, hd).transpose(0, 2, 1, 3)
         val = val.reshape(b, tk, self.num_heads, hd).transpose(0, 2, 1, 3)
@@ -270,7 +333,9 @@ class TransformerEncoder(nn.Module):
         scores = nn.Dropout(self.dropout, deterministic=not train)(scores)
         hidden = jnp.einsum("bhqk,bhkd->bhqd", scores.astype(self.dtype), val)
         hidden = hidden.transpose(0, 2, 1, 3).reshape(b, tq, d)
-        hidden = dense(d, "out_proj")(hidden).astype(jnp.float32)
+        hidden = TorchLinear(
+            d, dtype=self.dtype, name="out_proj", zero_bias=True
+        )(hidden).astype(jnp.float32)
 
         # post-LN residual blocks (modules.py:260-264)
         x = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(

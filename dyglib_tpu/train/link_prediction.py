@@ -164,15 +164,30 @@ class LinkPredictionTrainer:
             )
             if table_bytes <= 2_000_000_000:
                 fpx = data.node_raw_features
+        # entry-ordered packed feature table for contiguous window fetches
+        # (csr.feat_entry): only useful for the 'recent' strategy and only
+        # affordable under a byte budget — (Dn+De)*4 B per CSR entry
+        fex = None
+        if (
+            getattr(backbone, "wants_entry_features", False)
+            and getattr(backbone, "sample_strategy", "recent") == "recent"
+        ):
+            entry_bytes = (
+                2 * data.full.num_interactions
+                * (data.node_raw_features.shape[1] + data.edge_raw_features.shape[1])
+                * 4
+            )
+            if entry_bytes <= 2_000_000_000:
+                fex = (data.node_raw_features, data.edge_raw_features)
         self.train_csr = build_temporal_csr(
             data.train, num_nodes=data.num_nodes,
             time_scaling_factor=cfg.time_scaling_factor, with_tia=with_tia,
-            feat_prefix_of=fpx,
+            feat_prefix_of=fpx, feat_entry_of=fex,
         )
         self.full_csr = build_temporal_csr(
             data.full, num_nodes=data.num_nodes,
             time_scaling_factor=cfg.time_scaling_factor, with_tia=with_tia,
-            feat_prefix_of=fpx,
+            feat_prefix_of=fpx, feat_entry_of=fex,
         )
         # pre-placement CSR reference for init_params: under multi-host the
         # mesh-placed CSR is a global (non-addressable) array that cannot be

@@ -22,9 +22,12 @@ def _fit(backbone, link_data, tmp_path, epochs=2, lr=1e-3):
 
 
 def test_tcl_end_to_end(link_data, tmp_path):
-    # TCL is a slow learner on this task (val AP 0.49 -> 0.56 over 6
-    # epochs) and hovers near 0.52 at 4 epochs — assert on the training
-    # signal (loss must fall decisively) plus a loose AP sanity bound
+    # TCL is a slow learner on this task — assert on the training signal
+    # (loss must fall) plus a loose AP sanity bound. With torch-matching
+    # init (nn.modules.TorchLinear) the first epoch already starts near
+    # ln 2 instead of ~1.1, so the RELATIVE decrease over 4 epochs is
+    # smaller than under the old flax-default init even though absolute
+    # convergence is strictly better (scripts/reference_calibration.py)
     from dyglib_tpu.train import LinkPredictionTrainer, TrainConfig
     import jax
 
@@ -41,7 +44,8 @@ def test_tcl_end_to_end(link_data, tmp_path):
         if first_losses is None:
             first_losses = losses
         last_losses = losses
-    assert np.mean(last_losses) < 0.85 * np.mean(first_losses)
+    assert np.mean(last_losses) < 0.93 * np.mean(first_losses)
+    assert np.mean(last_losses) < 0.69  # below chance-level BCE
     _, test_metrics, _ = trainer.evaluate(
         params, link_data.test, trainer.test_neg, 2
     )
