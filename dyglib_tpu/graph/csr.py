@@ -86,11 +86,21 @@ class TemporalCSR(NamedTuple):
     # (Dn,) int8 placeholder: its LENGTH is the node-feature width of
     # feat_entry's packed rows (same pytree-static-int trick as seg_steps)
     feat_entry_ndim: Optional[jnp.ndarray] = None
+    # (De,) int8 placeholder: edge-feature width. feat_entry's lane dim is
+    # zero-PADDED up to a multiple of 128 (Dn+De=344 -> 384) because the
+    # fused window-attention kernel DMAs tiled HBM slices, which must be
+    # (8, 128)-aligned; consumers slice [:, :Dn] / [:, Dn:Dn+De]
+    feat_entry_edim: Optional[jnp.ndarray] = None
 
     @property
     def feat_entry_node_dim(self) -> int:
         assert self.feat_entry_ndim is not None
         return self.feat_entry_ndim.shape[0]
+
+    @property
+    def feat_entry_edge_dim(self) -> int:
+        assert self.feat_entry_edim is not None
+        return self.feat_entry_edim.shape[0]
 
     @property
     def num_nodes(self) -> int:
@@ -189,11 +199,16 @@ def build_temporal_csr(
         node_f, edge_f = feat_entry_of
         m = len(peer)
         dn, de = node_f.shape[1], edge_f.shape[1]
+        # lane dim padded to the 128 tiling so the fused window-attention
+        # kernel can DMA (8,128)-aligned slices of this table
+        width = -(-(dn + de) // 128) * 128
         feat_entry = np.zeros(
-            (FEAT_ENTRY_PAD + m + FEAT_ENTRY_PAD, dn + de), np.float32
+            (FEAT_ENTRY_PAD + m + FEAT_ENTRY_PAD, width), np.float32
         )
         feat_entry[FEAT_ENTRY_PAD : FEAT_ENTRY_PAD + m, :dn] = node_f[peer]
-        feat_entry[FEAT_ENTRY_PAD : FEAT_ENTRY_PAD + m, dn:] = edge_f[eid]
+        feat_entry[FEAT_ENTRY_PAD : FEAT_ENTRY_PAD + m, dn : dn + de] = (
+            edge_f[eid]
+        )
 
     pack = np.stack(
         [
@@ -220,6 +235,9 @@ def build_temporal_csr(
         feat_entry_ndim=None
         if feat_entry is None
         else jnp.zeros((feat_entry_of[0].shape[1],), jnp.int8),
+        feat_entry_edim=None
+        if feat_entry is None
+        else jnp.zeros((feat_entry_of[1].shape[1],), jnp.int8),
     )
 
 

@@ -315,16 +315,20 @@ def fetch_entry_windows(
     entries' rows; callers mask with the block's validity mask, which
     reproduces the row-gather path's id-0 zero rows exactly.
 
-    One (k, D) contiguous slice per query streams at HBM bandwidth where
-    the equivalent k row gathers are latency-bound at ~6 ns/row
-    (scripts/microbench_window_gather.py, xprof-verified).
+    Lowering note (measured, scripts/trace_ops.py): the obvious
+    vmap(dynamic_slice) formulation lowers to an XLA gather with
+    slice_sizes=(k, D) that runs PATHOLOGICALLY slowly inside the jitted
+    train step — 20.9 ms/step at the TGAT operating point, 63% of the
+    whole step, ~16 GB/s effective (the standalone microbenchmark of the
+    same op hits full bandwidth, which is how it shipped unnoticed).
+    A flat ROW gather over start+j indices is latency-bound at ~7 ns/row
+    but predictable, and consecutive rows of one window coalesce.
     """
     assert csr.feat_entry is not None, "CSR built without feat_entry"
     assert k <= FEAT_ENTRY_PAD, f"window k={k} exceeds FEAT_ENTRY_PAD"
     table = csr.feat_entry
     d = table.shape[1]
     flat = start.reshape(-1).astype(jnp.int32) + FEAT_ENTRY_PAD
-    win = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(table, (s, 0), (k, d))
-    )(flat)
+    idx = flat[:, None] + jnp.arange(k, dtype=jnp.int32)
+    win = table[idx]  # (Q, k, D) row gather
     return win.reshape(start.shape + (k, d))

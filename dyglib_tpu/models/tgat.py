@@ -49,8 +49,16 @@ class TGATInputs(NamedTuple):
     # arrays, value-identical to tables.node[hop_ids[h]] /
     # tables.edge[hop_eids[h]] (invalid entries zeroed like id-0 rows).
     # None -> the net gathers rows from the tables as before.
+    # (fused window-kernel mode: only hops 1..L-1 are present — the last
+    # hop's features are fetched inside the attention kernel.)
     hop_node_feat: tuple | None = None
     hop_edge_feat: tuple | None = None
+    # fused window-gather attention (ops/pallas/window_attention.py):
+    # per-hop CLAMPED entry-table window starts (shape = hop h's query
+    # shape) and the entry table itself (csr.feat_entry — same buffer, no
+    # copy; sampling runs inside the jitted step)
+    hop_win_start: tuple | None = None
+    feat_table: jnp.ndarray | None = None
 
 
 class TGATNet(nn.Module):
@@ -62,6 +70,7 @@ class TGATNet(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False  # fused attention kernel (same params/math)
+    use_window_kernel: bool = False  # fused gather+attention at layer 1
 
     @nn.compact
     def __call__(
@@ -80,6 +89,9 @@ class TGATNet(nn.Module):
             MergeLayer(tables.node_dim, tables.node_dim, name=f"merge_{l}")
             for l in range(L)
         ]
+        # layer-1 kv rows are RAW features -> the fused kernel may own
+        # their fetch (contiguous 'recent' windows) + Phi(dt) + attention
+        fused = self.use_window_kernel and inputs.hop_win_start is not None
 
         b = inputs.hop_ids[0].shape[0]
         # flat node ids / times per hop level; level h has m_h = b * K^h rows
@@ -87,13 +99,15 @@ class TGATNet(nn.Module):
         flat_ts = [ts.reshape(-1) for ts in inputs.hop_ts]
         if inputs.hop_node_feat is not None:
             # window-fetched features (contiguous HBM streams); only the
-            # B query rows of hop 0 are row-gathered
+            # B query rows of hop 0 are row-gathered. In fused mode the
+            # last hop's features are NOT materialized (kernel-fetched).
             dn = tables.node_dim
             feats = [tables.node[flat_ids[0]]] + [
                 nf.reshape(-1, dn) for nf in inputs.hop_node_feat
             ]
         else:
-            feats = [tables.node[ids] for ids in flat_ids]
+            ids_needed = flat_ids[: L] if fused else flat_ids
+            feats = [tables.node[ids] for ids in ids_needed]
         base_feats = list(feats)  # merge-layer side input (TGAT.py:134)
 
         for l in range(1, L + 1):
@@ -102,21 +116,33 @@ class TGATNet(nn.Module):
                 m = flat_ids[h].shape[0]
                 kk = flat_ids[h + 1].shape[0] // m
                 q_feat = feats[h]  # (m, Dn)
-                kv_feat = feats[h + 1].reshape(m, kk, -1)
                 nbr_ts = flat_ts[h + 1].reshape(m, kk)
                 # exact integer delta, then float32 — matches the reference's
                 # float64-numpy subtraction cast to float32 (TGAT.py:116-119)
                 dt = (flat_ts[h][:, None] - nbr_ts).astype(jnp.float32)
-                phi_dt = time_enc(dt)  # (m, kk, Dt)
                 phi_0 = time_enc(jnp.zeros((m, 1), dtype=jnp.float32))[:, 0, :]
-                if inputs.hop_edge_feat is not None:
-                    edge_feat = inputs.hop_edge_feat[h].reshape(m, kk, -1)
-                else:
-                    edge_feat = tables.edge[inputs.hop_eids[h].reshape(m, kk)]
                 mask = inputs.hop_mask[h].reshape(m, kk)
-                out, _ = convs[l - 1](
-                    q_feat, phi_0, kv_feat, phi_dt, edge_feat, mask, train=train
-                )
+                if l == 1 and fused:
+                    out, _ = convs[0](
+                        q_feat, phi_0, None, None, None, mask, train=train,
+                        window=(
+                            inputs.hop_win_start[h].reshape(-1), dt,
+                            inputs.feat_table,
+                            tables.node_dim + tables.edge_dim,
+                            time_enc.weights(),
+                        ),
+                    )
+                else:
+                    kv_feat = feats[h + 1].reshape(m, kk, -1)
+                    phi_dt = time_enc(dt)  # (m, kk, Dt)
+                    if inputs.hop_edge_feat is not None:
+                        edge_feat = inputs.hop_edge_feat[h].reshape(m, kk, -1)
+                    else:
+                        edge_feat = tables.edge[inputs.hop_eids[h].reshape(m, kk)]
+                    out, _ = convs[l - 1](
+                        q_feat, phi_0, kv_feat, phi_dt, edge_feat, mask,
+                        train=train,
+                    )
                 out = merges[l - 1](out, base_feats[h])
                 new_feats.append(out)
             feats = new_feats
@@ -139,11 +165,22 @@ class TGAT:
     # already-fused schedule at the shipped operating points (see the
     # kernel's MEASURED VERDICT); set True to force it (interpreted on CPU)
     use_fused_attention: bool | str = "auto"
+    # fused window-gather attention kernel for the layer-1 fan-out
+    # (ops/pallas/window_attention.py): kv feature rows DMA'd straight
+    # from csr.feat_entry into VMEM, Phi(dt) computed on-chip. "auto"
+    # resolves to ON whenever the 'recent' strategy + entry table are
+    # available (requires wants_entry_features)
+    use_window_attention: bool | str = "auto"
     has_state: bool = False
     # ask the trainer for an entry-ordered feature table on the CSR
-    # (csr.feat_entry) so 'recent' hop features stream as contiguous
-    # windows instead of per-row gathers (budget-gated; falls back cleanly)
-    wants_entry_features: bool = True
+    # (csr.feat_entry). Default OFF — MEASURED at the shipped operating
+    # point (B=200, K=20, L=2, fused scan): packed row gathers 12.86
+    # ms/step vs 14.18 via entry-window row fetch vs 18.35 via the
+    # window-DMA Pallas kernel (its per-row DMA issue overhead dominates;
+    # see ops/pallas/window_attention.py). The round-1 vmap(dynamic_slice)
+    # variant of this path was 33.2 ms/step — a silent 2.6x regression
+    # that the per-op trace caught (scripts/trace_ops.py).
+    wants_entry_features: bool = False
     # embeddings depend only on (node, time): the trainer may embed the
     # training triple [src, dst, neg_dst] and reuse src for neg_src
     # (the reference trains with neg_src = src, train_link_prediction.py:165)
@@ -153,6 +190,10 @@ class TGAT:
         fused = self.use_fused_attention
         if fused == "auto":
             fused = False  # XLA path measured faster (see kernel verdict)
+        win = self.use_window_attention
+        if win == "auto":
+            win = self.sample_strategy == "recent" and self.wants_entry_features
+        self._window_kernel = bool(win) and self.sample_strategy == "recent"
         kwargs = dict(
             time_feat_dim=self.time_feat_dim,
             num_layers=self.num_layers,
@@ -160,32 +201,59 @@ class TGAT:
             dropout=self.dropout,
             dtype=jnp.dtype(self.compute_dtype),
         )
-        self.module = TGATNet(use_pallas=bool(fused), **kwargs)
+        self.module = TGATNet(
+            use_pallas=bool(fused), use_window_kernel=self._window_kernel,
+            **kwargs,
+        )
         # param init runs on the CPU backend (remote-compile workaround),
-        # where the Pallas kernel cannot lower; the XLA module has an
+        # where neither Pallas kernel can lower; the XLA module has an
         # IDENTICAL parameter tree by construction, so init through it
+        # (init() samples with fused=False so the inputs carry every hop)
         self._init_module = TGATNet(use_pallas=False, **kwargs)
 
     def sample(
-        self, csr: TemporalCSR, ids: jnp.ndarray, ts: jnp.ndarray, key: jax.Array
+        self, csr: TemporalCSR, ids: jnp.ndarray, ts: jnp.ndarray,
+        key: jax.Array, fused: bool | None = None,
     ) -> TGATInputs:
         blocks, wins = sample_multi_hop(
             csr, ids, ts, self.num_neighbors, self.num_layers,
             self.sample_strategy, key, return_windows=True,
         )
         b = ids.shape[0]
-        hop_node_feat = hop_edge_feat = None
+        k = self.num_neighbors
+        hop_node_feat = hop_edge_feat = hop_win_start = feat_table = None
+        if fused is None:
+            fused = self._window_kernel
+        fused = fused and csr.feat_entry is not None
+        if fused and wins is not None:
+            # the attention kernel fetches the layer-1 kv windows itself:
+            # clamp guard-offset starts once here; materialize features
+            # only for hops 1..L-1 (q/base/merge inputs of upper layers)
+            from ..graph.csr import FEAT_ENTRY_PAD
+
+            t_max = csr.feat_entry.shape[0] - k
+            hop_win_start = tuple(
+                jnp.clip(w + FEAT_ENTRY_PAD, 0, t_max).astype(jnp.int32)
+                for w in wins
+            )
+            feat_table = csr.feat_entry
         if csr.feat_entry is not None and wins is not None:
             # contiguous window fetch instead of per-row feature gathers
             # (see fetch_entry_windows); masked to the row-gather path's
             # exact values (id-0 rows are zero)
             dn = csr.feat_entry_node_dim
+            de = csr.feat_entry_edge_dim
             node_fs, edge_fs = [], []
-            for blk, win in zip(blocks, wins):
-                w = fetch_entry_windows(csr, win, self.num_neighbors)
+            pairs = list(zip(blocks, wins))
+            if fused:
+                pairs = pairs[:-1]  # last hop lives in-kernel only
+            for blk, win in pairs:
+                w = fetch_entry_windows(csr, win, k)
                 w = jnp.where(blk.mask[..., None], w, 0.0)
                 node_fs.append(w[..., :dn].reshape(b, -1, dn))
-                edge_fs.append(w[..., dn:].reshape(b, -1, w.shape[-1] - dn))
+                # feat_entry's lane dim is zero-padded to the 128 tiling;
+                # the edge features are columns [dn, dn+de)
+                edge_fs.append(w[..., dn : dn + de].reshape(b, -1, de))
             hop_node_feat = tuple(node_fs)
             hop_edge_feat = tuple(edge_fs)
         return TGATInputs(
@@ -197,13 +265,15 @@ class TGAT:
             hop_mask=tuple(blk.mask.reshape(b, -1) for blk in blocks),
             hop_node_feat=hop_node_feat,
             hop_edge_feat=hop_edge_feat,
+            hop_win_start=hop_win_start,
+            feat_table=feat_table,
         )
 
 
     def init(self, key: jax.Array, tables: FeatureTables, csr: TemporalCSR):
         ids = jnp.zeros((2,), jnp.int32)
         ts = jnp.zeros((2,), jnp.int32)
-        inputs = self.sample(csr, ids, ts, jax.random.PRNGKey(0))
+        inputs = self.sample(csr, ids, ts, jax.random.PRNGKey(0), fused=False)
         return self._init_module.init(key, tables, inputs)
 
     def init_state(self, tables: FeatureTables):

@@ -92,23 +92,37 @@ def time_encoder_spectrum(time_dim: int) -> np.ndarray:
 
 
 class TimeEncoder(nn.Module):
-    """Cosine time features phi(t) = cos(w*t + b) (modules.py:7-39)."""
+    """Cosine time features phi(t) = cos(w*t + b) (modules.py:7-39).
+
+    setup-style (not nn.compact) so fused kernels can read the raw
+    parameters via ``weights()`` — e.g. the window-gather attention kernel
+    computes Phi(dt) on-chip instead of materializing the (M, K, Dt)
+    tensor in HBM (ops/pallas/window_attention.py). Parameter tree is
+    unchanged ({name}/w, {name}/b).
+    """
 
     time_dim: int
     trainable: bool = True
 
-    @nn.compact
-    def __call__(self, timestamps: jnp.ndarray) -> jnp.ndarray:
-        """(...,) times -> (..., time_dim) features."""
-        w = self.param(
+    def setup(self):
+        self._w = self.param(
             "w", lambda key: jnp.asarray(time_encoder_spectrum(self.time_dim))
         )
-        b = self.param("b", nn.initializers.zeros, (self.time_dim,))
+        self._b = self.param("b", nn.initializers.zeros, (self.time_dim,))
+
+    def weights(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """((1, time_dim) w, (time_dim,) b), gradient-stopped if frozen."""
+        w, b = self._w, self._b
         if not self.trainable:
             # frozen spectrum (GraphMixer passes parameter_requires_grad=False,
             # reference GraphMixer.py:45): zero the gradient, keep the param
             w = jax.lax.stop_gradient(w)
             b = jax.lax.stop_gradient(b)
+        return w, b
+
+    def __call__(self, timestamps: jnp.ndarray) -> jnp.ndarray:
+        """(...,) times -> (..., time_dim) features."""
+        w, b = self.weights()
         return jnp.cos(timestamps[..., None] * w[0] + b)
 
 
@@ -191,24 +205,62 @@ class TemporalMultiHeadAttention(nn.Module):
         neighbor_mask: jnp.ndarray,  # (B, K) bool, True = real neighbor
         *,
         train: bool = False,
+        window: tuple | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         query_dim = node_features.shape[-1] + node_time_features.shape[-1]
         assert query_dim % self.num_heads == 0
         head_dim = query_dim // self.num_heads
-        b, k = neighbor_node_features.shape[:2]
 
         query = residual = jnp.concatenate(
             [node_features, node_time_features], axis=-1
         ).astype(self.dtype)  # (B, Dq)
-        kv = jnp.concatenate(
-            [neighbor_node_features, neighbor_edge_features, neighbor_time_features],
-            axis=-1,
-        ).astype(self.dtype)  # (B, K, Dk)
 
         dense = lambda d, name, bias=True: TorchLinear(
             d, use_bias=bias, dtype=self.dtype, name=name
         )
         q = dense(query_dim, "query_projection", False)(query)
+
+        if window is not None:
+            # fused window-gather path: kv rows are fetched in-kernel from
+            # the contiguous entry-table windows of the 'recent' strategy
+            # and Phi(dt) is computed on-chip — the neighbor feature
+            # tensors never exist in HBM (ops/pallas/window_attention.py)
+            from ..ops.pallas.window_attention import window_attention
+
+            starts, dt, table, feat_dim, (tw, tb) = window
+            b, k = neighbor_mask.shape
+            # feat_dim = LOGICAL Dn+De (the table's lane dim is zero-padded
+            # to the 128 tiling; the kernel pads the weights to match)
+            kv_dim = feat_dim + tw.shape[-1]
+            wk = _RawKernel(kv_dim, query_dim, name="key_projection")()
+            wv = _RawKernel(kv_dim, query_dim, name="value_projection")()
+            if train and self.dropout > 0.0:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.dropout,
+                    (b, self.num_heads, k),
+                ).astype(jnp.float32) / (1.0 - self.dropout)
+            else:
+                keep = jnp.ones((b, self.num_heads, k), jnp.float32)
+            out = window_attention(
+                q.astype(jnp.float32), starts, dt,
+                neighbor_mask.astype(jnp.float32), keep, table,
+                tw.reshape(-1), tb, (wk, wv), self.num_heads,
+            )
+            out = nn.Dropout(self.dropout, deterministic=not train)(
+                TorchLinear(query_dim, dtype=self.dtype, name="residual_fc")(
+                    out.astype(self.dtype)
+                )
+            )
+            out = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(
+                (out + residual).astype(jnp.float32)
+            )
+            return out, None
+
+        b, k = neighbor_node_features.shape[:2]
+        kv = jnp.concatenate(
+            [neighbor_node_features, neighbor_edge_features, neighbor_time_features],
+            axis=-1,
+        ).astype(self.dtype)  # (B, K, Dk)
 
         if self.use_pallas:
             from ..ops.pallas.temporal_attention import temporal_attention

@@ -42,6 +42,11 @@ VARIANTS = {
     "gm_l0": lambda: GraphMixer(num_neighbors=20, num_layers=0),
     # TGAT: dtype + fan-out cost
     "tgat_f32": lambda: TGAT(num_neighbors=20, num_layers=2),
+    "tgat_nowin": lambda: TGAT(num_neighbors=20, num_layers=2,
+                               use_window_attention=False),
+    "tgat_noentry": lambda: TGAT(num_neighbors=20, num_layers=2,
+                                 use_window_attention=False,
+                                 wants_entry_features=False),
     "tgat_bf16": lambda: TGAT(num_neighbors=20, num_layers=2,
                               compute_dtype="bfloat16"),
     "tgat_l1": lambda: TGAT(num_neighbors=20, num_layers=1),

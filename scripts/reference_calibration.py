@@ -9,9 +9,20 @@ frameworks (SURVEY §7 RNG-parity plan), so the comparison is a BAND, not
 an equality — the recorded bands go to BASELINE.md and set the thresholds
 of the end-to-end tests.
 
+Noise control (the comparison is only as good as its variance):
+  * train AND eval negative edges come from a shared deterministic replay
+    stream consumed identically by both frameworks (same draws per batch),
+    so metric differences are never "different negatives";
+  * CAL_SEEDS independent (init, dropout, sampler) seeds per side, band =
+    mean +- spread of the per-seed best val AP;
+  * 6000-edge dataset -> ~900 val edges per eval.
+
 Usage: python scripts/reference_calibration.py [model ...]
   (default: all of JODIE DyRep TGN TGAT TCL GraphMixer DyGFormer CAWN)
+Env: CAL_EPOCHS (default 8), CAL_SEEDS (default 2), CAL_JSON (path to
+write the band table as JSON).
 """
+import json
 import os
 import sys
 import time
@@ -23,9 +34,37 @@ import numpy as np
 import torch
 import torch.nn as nn
 
-ROOT = "/tmp/refcal"
-EPOCHS = int(os.environ.get("CAL_EPOCHS", "3"))
+ROOT = "/tmp/refcal6k"
+EPOCHS = int(os.environ.get("CAL_EPOCHS", "8"))
+NUM_SEEDS = int(os.environ.get("CAL_SEEDS", "2"))
 B, LR = 200, 1e-3
+
+
+class ReplayNegs:
+    """Deterministic negative-edge stream shared across frameworks.
+
+    Mirrors the reference random strategy (sample src and dst uniformly
+    from the split's unique ids, utils/utils.py:351-376) but from a
+    framework-neutral numpy stream, so ref and ours score the SAME
+    negative edges batch for batch.
+    """
+
+    negative_sample_strategy = "random"
+
+    def __init__(self, src_ids, dst_ids, seed):
+        self._src = np.sort(np.unique(np.asarray(src_ids)))
+        self._dst = np.sort(np.unique(np.asarray(dst_ids)))
+        self.seed = seed
+        self.reset_random_state()
+
+    def reset_random_state(self):
+        self._rs = np.random.RandomState(self.seed)
+
+    def sample(self, size, **_):
+        return (
+            self._rs.choice(self._src, size=size),
+            self._rs.choice(self._dst, size=size),
+        )
 # small reference-shaped configs (CPU reference is the bottleneck)
 CFG = {
     "JODIE": dict(num_neighbors=10, num_layers=1),
@@ -44,13 +83,13 @@ def get_data():
 
     if not os.path.exists(os.path.join(ROOT, "s")):
         write_synthetic_dataset(
-            ROOT, "s", num_src=120, num_dst=60, num_edges=2000,
+            ROOT, "s", num_src=120, num_dst=60, num_edges=6000,
             node_feat_scale=1.0, seed=7,
         )
     return get_link_prediction_data("s", data_root=ROOT)
 
 
-def run_reference(name, d):
+def run_reference(name, d, seed=0):
     from models.CAWN import CAWN
     from models.DyGFormer import DyGFormer
     from models.GraphMixer import GraphMixer
@@ -69,11 +108,12 @@ def run_reference(name, d):
     strategy = "time_interval_aware" if name == "CAWN" else "recent"
     train_sampler = get_neighbor_sampler(train_data, strategy, seed=0)
     full_sampler = get_neighbor_sampler(full_data, strategy, seed=1)
-    train_neg = NegativeEdgeSampler(train_data.src_node_ids, train_data.dst_node_ids)
-    val_neg = NegativeEdgeSampler(full_data.src_node_ids, full_data.dst_node_ids, seed=0)
+    train_neg = ReplayNegs(train_data.src_node_ids, train_data.dst_node_ids,
+                           seed=1000 + seed)
+    val_neg = ReplayNegs(full_data.src_node_ids, full_data.dst_node_ids, seed=0)
 
-    torch.manual_seed(0)
-    np.random.seed(0)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
     nf = d.node_raw_features.astype(np.float32)
     ef = d.edge_raw_features.astype(np.float32)
     common = dict(node_raw_features=nf, edge_raw_features=ef,
@@ -153,7 +193,7 @@ def run_reference(name, d):
                 aucs.append(roc_auc(lab, pred))
         return float(np.mean(aps)), float(np.mean(aucs))
 
-    best_ap = 0.0
+    ap_by_epoch = []
     for epoch in range(EPOCHS):
         model.train()
         if name not in ("JODIE",):
@@ -188,16 +228,16 @@ def run_reference(name, d):
         if name not in ("JODIE",):
             backbone.set_neighbor_sampler(full_sampler)
         ap, auc = eval_split(d.val, val_neg)
-        best_ap = max(best_ap, ap)
+        ap_by_epoch.append(ap)
         print(
-            f"  ref   epoch {epoch+1}: loss {np.mean(losses):.4f} "
+            f"  ref  s{seed} epoch {epoch+1}: loss {np.mean(losses):.4f} "
             f"val ap {ap:.4f} auc {auc:.4f} ({time.time()-t0:.1f}s)",
             flush=True,
         )
-    return best_ap
+    return ap_by_epoch
 
 
-def run_ours(name, d):
+def run_ours(name, d, seed=0):
     import jax
 
     from dyglib_tpu.graph import NegativeEdgeSampler
@@ -230,26 +270,29 @@ def run_ours(name, d):
         bk, d, TrainConfig(batch_size=B, num_epochs=EPOCHS, learning_rate=LR),
         os.path.join(ROOT, "ours.pkl"),
     )
-    params, opt_state = tr.init_params(0)
+    # shared replay streams (see ReplayNegs): identical draws to the ref run
+    tr.train_neg = ReplayNegs(d.train.src, d.train.dst, seed=1000 + seed)
+    val_neg = ReplayNegs(d.full.src, d.full.dst, seed=0)
+    params, opt_state = tr.init_params(seed)
     state = tr.init_state()
-    best_ap = 0.0
+    ap_by_epoch = []
     for epoch in range(EPOCHS):
         t0 = time.time()
         params, opt_state, state, losses, _ = tr.train_epoch(
             params, opt_state,
             tr.init_state() if tr.has_state else state,
-            epoch, jax.random.PRNGKey(epoch),
+            epoch, jax.random.PRNGKey(1 + seed * 1000 + epoch),
         )
-        _, val_metrics, _ = tr.evaluate(params, d.val, tr.val_neg, 0, state=state)
+        _, val_metrics, _ = tr.evaluate(params, d.val, val_neg, 0, state=state)
         m = tr.mean_metrics(val_metrics)
-        best_ap = max(best_ap, m["average_precision"])
+        ap_by_epoch.append(m["average_precision"])
         print(
-            f"  ours  epoch {epoch+1}: loss {np.mean(losses):.4f} "
+            f"  ours s{seed} epoch {epoch+1}: loss {np.mean(losses):.4f} "
             f"val ap {m['average_precision']:.4f} auc {m['roc_auc']:.4f} "
             f"({time.time()-t0:.1f}s)",
             flush=True,
         )
-    return best_ap
+    return ap_by_epoch
 
 
 def main():
@@ -258,13 +301,32 @@ def main():
     rows = []
     for name in names:
         print(f"== {name}", flush=True)
-        ref_ap = run_reference(name, d)
-        ours_ap = run_ours(name, d)
-        rows.append((name, ref_ap, ours_ap))
-        print(f"  BEST  ref {ref_ap:.4f} | ours {ours_ap:.4f}", flush=True)
-    print("\nmodel        ref_best_val_ap   ours_best_val_ap")
+        ref_best, ours_best = [], []
+        for seed in range(NUM_SEEDS):
+            ref_best.append(max(run_reference(name, d, seed)))
+            ours_best.append(max(run_ours(name, d, seed)))
+        rows.append((name, ref_best, ours_best))
+        print(
+            f"  BAND  ref {np.mean(ref_best):.4f}+-{np.std(ref_best):.4f} "
+            f"| ours {np.mean(ours_best):.4f}+-{np.std(ours_best):.4f}",
+            flush=True,
+        )
+    print("\nmodel        ref_best_val_ap (mean+-std)   ours_best_val_ap")
+    out = {}
     for name, r, o in rows:
-        print(f"{name:<12} {r:>15.4f} {o:>18.4f}")
+        print(
+            f"{name:<12} {np.mean(r):>10.4f}+-{np.std(r):.4f} "
+            f"{np.mean(o):>14.4f}+-{np.std(o):.4f}"
+        )
+        out[name] = {
+            "ref_best_ap": [float(x) for x in r],
+            "ours_best_ap": [float(x) for x in o],
+            "epochs": EPOCHS,
+        }
+    path = os.environ.get("CAL_JSON")
+    if path:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

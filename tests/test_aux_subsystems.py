@@ -83,7 +83,12 @@ def test_statistics_cli(synthetic_dataset):
 def test_fast_prng_subprocess():
     """RBG PRNG: deterministic per seed, different impl than threefry."""
     code = (
+        # force CPU via the config API: the axon site hook re-applies
+        # JAX_PLATFORMS=axon, so the env var alone would make this
+        # subprocess contend for the (single-tenant) TPU tunnel and hang
+        # whenever another process holds it (see tests/conftest.py)
         "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "from dyglib_tpu.utils import use_fast_prng\n"
         "use_fast_prng()\n"
         "k = jax.random.PRNGKey(0)\n"

@@ -43,15 +43,19 @@ def test_window_features_match_gathers(setup):
     )
     assert wins is not None and len(wins) == hops
     dn = csr.feat_entry_node_dim
+    de = csr.feat_entry_edge_dim
     for blk, win in zip(blocks, wins):
         w = fetch_entry_windows(csr, win, k)
         w = jnp.where(blk.mask[..., None], w, 0.0)
         np.testing.assert_array_equal(
             np.asarray(w[..., :dn]), np.asarray(tables.node[blk.nbr])
         )
+        # the lane dim is zero-padded to the 128 tiling: edge features are
+        # columns [dn, dn+de) and the pad columns are all-zero
         np.testing.assert_array_equal(
-            np.asarray(w[..., dn:]), np.asarray(tables.edge[blk.eid])
+            np.asarray(w[..., dn : dn + de]), np.asarray(tables.edge[blk.eid])
         )
+        assert float(jnp.abs(w[..., dn + de :]).max(initial=0.0)) == 0.0
 
 
 def test_stochastic_strategy_returns_no_windows(setup):
@@ -65,9 +69,13 @@ def test_stochastic_strategy_returns_no_windows(setup):
 
 
 def test_tgat_output_identical_with_window_path(setup, link_data):
+    # use_window_attention=False: this test pins the window FETCH path
+    # (bit-identical to row gathers); the fused window-attention kernel
+    # uses bf16 MXU passes and has its own tolerance-based parity tests
+    # (tests/test_window_attention.py)
     d, csr, tables = setup
     csr_plain = build_temporal_csr(d.train, num_nodes=d.num_nodes)
-    m = TGAT(num_neighbors=5, num_layers=2)
+    m = TGAT(num_neighbors=5, num_layers=2, use_window_attention=False)
     params = m.init(jax.random.PRNGKey(0), tables, csr_plain)
     b = 32
     ids = jnp.asarray(d.train.src[:b], jnp.int32)
