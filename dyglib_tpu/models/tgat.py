@@ -71,6 +71,7 @@ class TGATNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False  # fused attention kernel (same params/math)
     use_window_kernel: bool = False  # fused gather+attention at layer 1
+    use_gathered_kernel: bool = False  # post-gather fused attention at l=1
 
     @nn.compact
     def __call__(
@@ -132,6 +133,22 @@ class TGATNet(nn.Module):
                             time_enc.weights(),
                         ),
                     )
+                elif l == 1 and self.use_gathered_kernel:
+                    # layer-1 kv rows are RAW feature rows -> eligible for
+                    # the post-gather fused kernel (no feature gradient)
+                    if inputs.hop_edge_feat is not None:
+                        edge_flat = inputs.hop_edge_feat[h].reshape(
+                            m * kk, -1
+                        )
+                    else:
+                        edge_flat = tables.edge[inputs.hop_eids[h].reshape(-1)]
+                    feat_flat = jnp.concatenate(
+                        [feats[h + 1], edge_flat], axis=-1
+                    )
+                    out, _ = convs[0](
+                        q_feat, phi_0, None, None, None, mask, train=train,
+                        gathered=(feat_flat, dt, time_enc.weights()),
+                    )
                 else:
                     kv_feat = feats[h + 1].reshape(m, kk, -1)
                     phi_dt = time_enc(dt)  # (m, kk, Dt)
@@ -171,6 +188,10 @@ class TGAT:
     # resolves to ON whenever the 'recent' strategy + entry table are
     # available (requires wants_entry_features)
     use_window_attention: bool | str = "auto"
+    # post-gather fused attention kernel (ops/pallas/gathered_attention.py):
+    # XLA keeps the row gather, the kernel fuses Phi/projection/softmax/
+    # weighted-sum + backward for the layer-1 fan-out
+    use_gathered_attention: bool | str = "auto"
     has_state: bool = False
     # ask the trainer for an entry-ordered feature table on the CSR
     # (csr.feat_entry). Default OFF — MEASURED at the shipped operating
@@ -194,6 +215,10 @@ class TGAT:
         if win == "auto":
             win = self.sample_strategy == "recent" and self.wants_entry_features
         self._window_kernel = bool(win) and self.sample_strategy == "recent"
+        ga = self.use_gathered_attention
+        if ga == "auto":
+            ga = False  # default pending a measured win (see BASELINE.md)
+        self._gathered_kernel = bool(ga) and not self._window_kernel
         kwargs = dict(
             time_feat_dim=self.time_feat_dim,
             num_layers=self.num_layers,
@@ -203,6 +228,7 @@ class TGAT:
         )
         self.module = TGATNet(
             use_pallas=bool(fused), use_window_kernel=self._window_kernel,
+            use_gathered_kernel=self._gathered_kernel,
             **kwargs,
         )
         # param init runs on the CPU backend (remote-compile workaround),

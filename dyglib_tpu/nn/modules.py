@@ -206,6 +206,7 @@ class TemporalMultiHeadAttention(nn.Module):
         *,
         train: bool = False,
         window: tuple | None = None,
+        gathered: tuple | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         query_dim = node_features.shape[-1] + node_time_features.shape[-1]
         assert query_dim % self.num_heads == 0
@@ -219,6 +220,41 @@ class TemporalMultiHeadAttention(nn.Module):
             d, use_bias=bias, dtype=self.dtype, name=name
         )
         q = dense(query_dim, "query_projection", False)(query)
+
+        if gathered is not None:
+            # post-gather fused kernel: kv rows arrive pre-gathered
+            # (M*K, Dn+De); Phi(dt), K/V projection, masked softmax and
+            # the weighted sum run in VMEM; kv rows are RAW features so
+            # the custom VJP emits no feature gradient
+            # (ops/pallas/gathered_attention.py)
+            from ..ops.pallas.gathered_attention import gathered_attention
+
+            feat_flat, dt, (tw, tb) = gathered
+            b, k = neighbor_mask.shape
+            kv_dim = feat_flat.shape[-1] + tw.shape[-1]
+            wk = _RawKernel(kv_dim, query_dim, name="key_projection")()
+            wv = _RawKernel(kv_dim, query_dim, name="value_projection")()
+            if train and self.dropout > 0.0:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.dropout,
+                    (b, self.num_heads, k),
+                ).astype(jnp.float32) / (1.0 - self.dropout)
+            else:
+                keep = jnp.ones((b, self.num_heads, k), jnp.float32)
+            out = gathered_attention(
+                q.astype(jnp.float32), feat_flat, dt,
+                neighbor_mask.astype(jnp.float32), keep,
+                (tw.reshape(-1), tb), (wk, wv), self.num_heads,
+            )
+            out = nn.Dropout(self.dropout, deterministic=not train)(
+                TorchLinear(query_dim, dtype=self.dtype, name="residual_fc")(
+                    out.astype(self.dtype)
+                )
+            )
+            out = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(
+                (out + residual).astype(jnp.float32)
+            )
+            return out, None
 
         if window is not None:
             # fused window-gather path: kv rows are fetched in-kernel from

@@ -44,6 +44,10 @@ VARIANTS = {
     "tgat_f32": lambda: TGAT(num_neighbors=20, num_layers=2),
     "tgat_nowin": lambda: TGAT(num_neighbors=20, num_layers=2,
                                use_window_attention=False),
+    "tgat_ga": lambda: TGAT(num_neighbors=20, num_layers=2,
+                            use_window_attention=False,
+                            wants_entry_features=False,
+                            use_gathered_attention=True),
     "tgat_noentry": lambda: TGAT(num_neighbors=20, num_layers=2,
                                  use_window_attention=False,
                                  wants_entry_features=False),
