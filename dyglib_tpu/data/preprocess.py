@@ -110,6 +110,55 @@ def write_processed(
     np.save(os.path.join(dest, f"ml_{dataset_name}_node.npy"), node_feats)
 
 
+def main(argv: list[str] | None = None) -> None:
+    """CLI mirroring the reference's two preprocessing entry points:
+
+      python -m dyglib_tpu.data.preprocess --dataset_name wikipedia
+          one dataset (reference preprocess_data.py:153-177)
+      python -m dyglib_tpu.data.preprocess --all
+          every dataset in DATASET_NAMES (reference
+          preprocess_all_data.py:1-5, which shells out per dataset; here
+          one process loops — same outputs)
+
+    Datasets missing their raw CSV are reported and skipped (--all) or
+    raise (single-dataset mode).
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser("Preprocess raw dynamic-graph datasets")
+    parser.add_argument(
+        "--dataset_name", type=str, default=None, choices=DATASET_NAMES,
+        help="one dataset to preprocess",
+    )
+    parser.add_argument(
+        "--all", action="store_true",
+        help="preprocess every dataset in DATASET_NAMES",
+    )
+    parser.add_argument("--data_root", type=str, default="./DG_data",
+                        help="directory holding <name>/<name>.csv raw files")
+    parser.add_argument("--out_root", type=str, default="./processed_data")
+    parser.add_argument("--node_feat_dim", type=int, default=172)
+    args = parser.parse_args(argv)
+
+    if args.all == (args.dataset_name is not None):
+        parser.error("exactly one of --dataset_name or --all is required")
+    names = DATASET_NAMES if args.all else [args.dataset_name]
+    for name in names:
+        raw = os.path.join(args.data_root, name, f"{name}.csv")
+        if not os.path.exists(raw):
+            msg = f"{name}: raw file not found at {raw}"
+            if args.all:
+                print(f"skip {msg}")
+                continue
+            parser.error(msg)
+        preprocess_dataset(
+            raw, args.out_root, name,
+            bipartite=name in BIPARTITE_DATASETS,
+            node_feat_dim=args.node_feat_dim,
+        )
+        print(f"processed {name} -> {os.path.join(args.out_root, name)}")
+
+
 def check_processed(reference_dir: str, out_dir: str, dataset_name: str) -> None:
     """Golden-file check mirroring reference check_data() (preprocess_data.py:120-150)."""
     from pandas.testing import assert_frame_equal
@@ -124,3 +173,7 @@ def check_processed(reference_dir: str, out_dir: str, dataset_name: str) -> None
         a = np.load(os.path.join(ref, f"ml_{dataset_name}{suffix}.npy"))
         b = np.load(os.path.join(out, f"ml_{dataset_name}{suffix}.npy"))
         assert a.shape == b.shape and a.max() == b.max() and a.min() == b.min()
+
+
+if __name__ == "__main__":
+    main()

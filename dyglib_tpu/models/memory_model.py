@@ -98,14 +98,29 @@ def compute_src_dst_node_time_shifts(
     src: np.ndarray, dst: np.ndarray, ts: np.ndarray
 ) -> TimeShiftStats:
     """Mean/std of per-role inter-event gaps (MemoryModel.py:667-698);
-    first occurrence measured against time 0."""
+    first occurrence measured against time 0.
+
+    Vectorized: a stable argsort groups each node's interactions while
+    preserving stream order within the group, so the previous occurrence's
+    timestamp is simply the previous element of the sorted array (first
+    occurrence diffs against 0). Exact match of the reference's per-edge
+    loop at O(E log E) with no Python per-edge work — at 10M edges the
+    loop this replaces took minutes of host time at trainer construction.
+    """
     shifts = []
     for ids in (src, dst):
-        last = np.zeros(int(max(src.max(), dst.max())) + 1)
+        order = np.argsort(ids, kind="stable")
+        sorted_ts = ts[order].astype(np.float64)
+        prev = np.empty(len(ids))
+        prev[0] = 0.0
+        prev[1:] = sorted_ts[:-1]
+        sorted_ids = ids[order]
+        first = np.empty(len(ids), dtype=bool)
+        first[0] = True
+        first[1:] = sorted_ids[1:] != sorted_ids[:-1]
+        prev[first] = 0.0
         s = np.empty(len(ids))
-        for k in range(len(ids)):
-            s[k] = ts[k] - last[ids[k]]
-            last[ids[k]] = ts[k]
+        s[order] = sorted_ts - prev
         shifts.append(s)
     return TimeShiftStats(
         float(np.mean(shifts[0])), float(np.std(shifts[0])),

@@ -257,6 +257,13 @@ class TGAT:
             # only for hops 1..L-1 (q/base/merge inputs of upper layers)
             from ..graph.csr import FEAT_ENTRY_PAD
 
+            # the +FEAT_ENTRY_PAD guard-offset clamp below assumes windows
+            # of K rows fit inside the pad region; for num_layers == 1
+            # fetch_entry_windows (which asserts this) never runs, so
+            # assert here before a larger K silently shifts windows
+            assert k <= FEAT_ENTRY_PAD, (
+                f"num_neighbors={k} exceeds FEAT_ENTRY_PAD={FEAT_ENTRY_PAD}"
+            )
             t_max = csr.feat_entry.shape[0] - k
             hop_win_start = tuple(
                 jnp.clip(w + FEAT_ENTRY_PAD, 0, t_max).astype(jnp.int32)

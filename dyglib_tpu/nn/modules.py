@@ -241,8 +241,12 @@ class TemporalMultiHeadAttention(nn.Module):
                 ).astype(jnp.float32) / (1.0 - self.dropout)
             else:
                 keep = jnp.ones((b, self.num_heads, k), jnp.float32)
+            # the kernel's VJP emits no feature cotangent (kv rows are raw
+            # frozen tables); stop_gradient makes that contract explicit so
+            # a gradient-carrying caller fails loudly in review, not
+            # silently at train time
             out = gathered_attention(
-                q.astype(jnp.float32), feat_flat, dt,
+                q.astype(jnp.float32), jax.lax.stop_gradient(feat_flat), dt,
                 neighbor_mask.astype(jnp.float32), keep,
                 (tw.reshape(-1), tb), (wk, wv), self.num_heads,
             )
@@ -277,9 +281,11 @@ class TemporalMultiHeadAttention(nn.Module):
                 ).astype(jnp.float32) / (1.0 - self.dropout)
             else:
                 keep = jnp.ones((b, self.num_heads, k), jnp.float32)
+            # same no-feature-gradient contract as the gathered kernel
             out = window_attention(
                 q.astype(jnp.float32), starts, dt,
-                neighbor_mask.astype(jnp.float32), keep, table,
+                neighbor_mask.astype(jnp.float32), keep,
+                jax.lax.stop_gradient(table),
                 tw.reshape(-1), tb, (wk, wv), self.num_heads,
             )
             out = nn.Dropout(self.dropout, deterministic=not train)(
