@@ -225,12 +225,18 @@ class TreeBiLSTMEncoder(nn.Module):
         h1 = self.hidden_dim // 2
 
         def gate_params(prefix):
-            # torch nn.LSTM init: every weight and bias U(+-1/sqrt(hidden))
+            # torch nn.LSTM init: every weight and BOTH bias vectors
+            # U(+-1/sqrt(hidden)). b_ih and b_hh are kept separate for
+            # exact init-distribution parity (their sum is triangular, not
+            # uniform — init distributions are metrics-visible, see
+            # TorchLinear); the recurrent term at step 0 is exactly b_hh
+            # since h0 = 0.
             init = uniform_init(h1 ** -0.5)
             wx = self.param(f"{prefix}_wx", init, (d, 4 * h1)).astype(self.dtype)
             wh = self.param(f"{prefix}_wh", init, (h1, 4 * h1)).astype(self.dtype)
-            b = self.param(f"{prefix}_b", init, (4 * h1,)).astype(self.dtype)
-            return wx, wh, b
+            bi = self.param(f"{prefix}_b", init, (4 * h1,)).astype(self.dtype)
+            bh = self.param(f"{prefix}_bh", init, (4 * h1,)).astype(self.dtype)
+            return wx, wh, bi + bh
 
         def cell(gates, c):
             i, f, g, o = jnp.split(gates, 4, axis=-1)

@@ -51,11 +51,12 @@ import numpy as np
 from ..graph.csr import TemporalCSR
 from ..graph.sampler import sample_multi_hop
 from ..nn.modules import (
+    FusedGRUCell,
+    FusedRNNCell,
     MergeLayer,
     TemporalMultiHeadAttention,
     TimeEncoder,
     TorchLinear,
-    uniform_init,
 )
 from .base import FeatureTables
 
@@ -157,20 +158,19 @@ class MemoryModelNet(nn.Module):
 
     def setup(self):
         self.time_encoder = TimeEncoder(self.time_feat_dim, name="time_encoder")
-        # torch GRUCell/RNNCell init: ALL weights and biases
-        # U(+-1/sqrt(hidden)) — init parity (see TorchLinear)
-        cell_init = dict(
-            kernel_init=uniform_init(self.memory_dim ** -0.5),
-            recurrent_kernel_init=uniform_init(self.memory_dim ** -0.5),
-            bias_init=uniform_init(self.memory_dim ** -0.5),
-        )
+        # torch-layout fused cells (nn.modules.FusedGRUCell/FusedRNNCell):
+        # exact torch parameterization incl. BOTH bias vectors — the GRU's
+        # b_hn lives inside the reset-gate product and is NOT mergeable,
+        # and torch's effective bias init is the sum of two uniforms.
+        # Two fused matmuls also beat flax's six narrow Denses on the
+        # memory-ops-bound TGN step.
         if self.model_name == "TGN":
-            self.memory_cell = nn.GRUCell(
-                features=self.memory_dim, name="memory_cell", **cell_init
+            self.memory_cell = FusedGRUCell(
+                features=self.memory_dim, name="memory_cell"
             )
         elif self.model_name in ("DyRep", "JODIE"):
-            self.memory_cell = nn.SimpleCell(
-                features=self.memory_dim, name="memory_cell", **cell_init
+            self.memory_cell = FusedRNNCell(
+                features=self.memory_dim, name="memory_cell"
             )
         else:
             raise ValueError(f"unknown memory model {self.model_name!r}")
@@ -190,8 +190,7 @@ class MemoryModelNet(nn.Module):
             ]
 
     def apply_cell(self, msg: jnp.ndarray, mem: jnp.ndarray) -> jnp.ndarray:
-        new_mem, _ = self.memory_cell(mem, msg)
-        return new_mem
+        return self.memory_cell(mem, msg)
 
     def memory_view(self, state: MemoryState) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Lazily-updated (memory, last_update) over ALL nodes

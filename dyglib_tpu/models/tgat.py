@@ -135,19 +135,19 @@ class TGATNet(nn.Module):
                     )
                 elif l == 1 and self.use_gathered_kernel:
                     # layer-1 kv rows are RAW feature rows -> eligible for
-                    # the post-gather fused kernel (no feature gradient)
+                    # the post-gather fused kernel (no feature gradient);
+                    # node/edge slabs stay separate — the kernel concats
+                    # in VMEM, never in HBM
                     if inputs.hop_edge_feat is not None:
                         edge_flat = inputs.hop_edge_feat[h].reshape(
                             m * kk, -1
                         )
                     else:
                         edge_flat = tables.edge[inputs.hop_eids[h].reshape(-1)]
-                    feat_flat = jnp.concatenate(
-                        [feats[h + 1], edge_flat], axis=-1
-                    )
                     out, _ = convs[0](
                         q_feat, phi_0, None, None, None, mask, train=train,
-                        gathered=(feat_flat, dt, time_enc.weights()),
+                        gathered=(feats[h + 1], edge_flat, dt,
+                                  time_enc.weights()),
                     )
                 else:
                     kv_feat = feats[h + 1].reshape(m, kk, -1)
@@ -190,7 +190,9 @@ class TGAT:
     use_window_attention: bool | str = "auto"
     # post-gather fused attention kernel (ops/pallas/gathered_attention.py):
     # XLA keeps the row gather, the kernel fuses Phi/projection/softmax/
-    # weighted-sum + backward for the layer-1 fan-out
+    # weighted-sum + backward for the layer-1 fan-out. "auto" resolves OFF:
+    # MEASURED 17.92 ms/step (best config) vs 13.01 for the XLA path at the
+    # TGAT operating point — see the kernel's MEASURED VERDICT
     use_gathered_attention: bool | str = "auto"
     has_state: bool = False
     # ask the trainer for an entry-ordered feature table on the CSR
@@ -217,7 +219,7 @@ class TGAT:
         self._window_kernel = bool(win) and self.sample_strategy == "recent"
         ga = self.use_gathered_attention
         if ga == "auto":
-            ga = False  # default pending a measured win (see BASELINE.md)
+            ga = False  # measured loss vs XLA (kernel's MEASURED VERDICT)
         self._gathered_kernel = bool(ga) and not self._window_kernel
         kwargs = dict(
             time_feat_dim=self.time_feat_dim,

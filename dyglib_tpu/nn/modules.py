@@ -78,6 +78,25 @@ class TorchLinear(nn.Module):
         return y
 
 
+def double_uniform_init(bound: float):
+    """Sum of two independent U(-bound, +bound) draws (triangular
+    distribution, std bound*sqrt(2/3)).
+
+    torch's RNN/LSTM/GRU cells carry TWO bias vectors (b_ih, b_hh), each
+    U(+-1/sqrt(hidden)); our fused cells merge them into one parameter
+    (transplant maps b_ih + b_hh onto it), so init parity requires the
+    SUM's distribution, not a single uniform — the same
+    init-distribution-is-metrics-visible lesson as TorchLinear."""
+
+    def init(key, shape, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        return jax.random.uniform(
+            k1, shape, dtype, -bound, bound
+        ) + jax.random.uniform(k2, shape, dtype, -bound, bound)
+
+    return init
+
+
 def xavier_uniform_init(key, shape, dtype=jnp.float32):
     """torch nn.init.xavier_uniform_ for a (fan_in, fan_out) kernel."""
     bound = (6.0 / (shape[0] + shape[1])) ** 0.5
@@ -124,6 +143,55 @@ class TimeEncoder(nn.Module):
         """(...,) times -> (..., time_dim) features."""
         w, b = self.weights()
         return jnp.cos(timestamps[..., None] * w[0] + b)
+
+
+class FusedGRUCell(nn.Module):
+    """GRU cell in torch's exact parameterization (nn.GRUCell):
+
+        r = sigmoid(x Wi_r + bi_r + h Wh_r + bh_r)
+        z = sigmoid(x Wi_z + bi_z + h Wh_z + bh_z)
+        n = tanh  (x Wi_n + bi_n + r * (h Wh_n + bh_n))
+        h' = (1 - z) n + z h
+
+    Params: wi (D, 3H), wh (H, 3H), bi (3H,), bh (3H,) — gate order
+    [r | z | n], all U(+-1/sqrt(H)) like torch. Two fused matmuls replace
+    flax GRUCell's six narrow Denses (the memory-model step is
+    memory-ops-bound), torch's b_hn-inside-the-reset-gate semantics are
+    exact, and transplant mapping is a direct transpose."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        hd = self.features
+        init = uniform_init(hd ** -0.5)
+        wi = self.param("wi", init, (x.shape[-1], 3 * hd))
+        wh = self.param("wh", init, (hd, 3 * hd))
+        bi = self.param("bi", init, (3 * hd,))
+        bh = self.param("bh", init, (3 * hd,))
+        gi = x @ wi + bi
+        gh = h @ wh + bh
+        r = nn.sigmoid(gi[..., :hd] + gh[..., :hd])
+        z = nn.sigmoid(gi[..., hd : 2 * hd] + gh[..., hd : 2 * hd])
+        n = jnp.tanh(gi[..., 2 * hd :] + r * gh[..., 2 * hd :])
+        return (1.0 - z) * n + z * h
+
+
+class FusedRNNCell(nn.Module):
+    """torch nn.RNNCell (tanh): h' = tanh(x Wi + bi + h Wh + bh);
+    params U(+-1/sqrt(H))."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        hd = self.features
+        init = uniform_init(hd ** -0.5)
+        wi = self.param("wi", init, (x.shape[-1], hd))
+        wh = self.param("wh", init, (hd, hd))
+        bi = self.param("bi", init, (hd,))
+        bh = self.param("bh", init, (hd,))
+        return jnp.tanh(x @ wi + bi + h @ wh + bh)
 
 
 class MergeLayer(nn.Module):
@@ -229,9 +297,9 @@ class TemporalMultiHeadAttention(nn.Module):
             # (ops/pallas/gathered_attention.py)
             from ..ops.pallas.gathered_attention import gathered_attention
 
-            feat_flat, dt, (tw, tb) = gathered
+            feat_n, feat_e, dt, (tw, tb) = gathered
             b, k = neighbor_mask.shape
-            kv_dim = feat_flat.shape[-1] + tw.shape[-1]
+            kv_dim = feat_n.shape[-1] + feat_e.shape[-1] + tw.shape[-1]
             wk = _RawKernel(kv_dim, query_dim, name="key_projection")()
             wv = _RawKernel(kv_dim, query_dim, name="value_projection")()
             if train and self.dropout > 0.0:
@@ -246,7 +314,8 @@ class TemporalMultiHeadAttention(nn.Module):
             # a gradient-carrying caller fails loudly in review, not
             # silently at train time
             out = gathered_attention(
-                q.astype(jnp.float32), jax.lax.stop_gradient(feat_flat), dt,
+                q.astype(jnp.float32), jax.lax.stop_gradient(feat_n),
+                jax.lax.stop_gradient(feat_e), dt,
                 neighbor_mask.astype(jnp.float32), keep,
                 (tw.reshape(-1), tb), (wk, wv), self.num_heads,
             )

@@ -111,8 +111,10 @@ def run_reference(model, cfg, epochs, lr, d, seed):
     to_ref = lambda s: Data(s.src, s.dst, s.ts, s.eid, s.label)
     train_data, full_data = to_ref(d.train), to_ref(d.full)
     strategy = "time_interval_aware" if model == "CAWN" else "recent"
-    train_sampler = get_neighbor_sampler(train_data, strategy, seed=0)
-    full_sampler = get_neighbor_sampler(full_data, strategy, seed=1)
+    # 1e-6 = our TrainConfig default AND the reference best-config value
+    # (see reference_calibration.py note on the round-2 tsf mismatch)
+    train_sampler = get_neighbor_sampler(train_data, strategy, 1e-6, seed=0)
+    full_sampler = get_neighbor_sampler(full_data, strategy, 1e-6, seed=1)
     train_neg = ReplayNegs(train_data.src_node_ids, train_data.dst_node_ids,
                            seed=1000 + seed)
     val_neg = ReplayNegs(full_data.src_node_ids, full_data.dst_node_ids, seed=0)

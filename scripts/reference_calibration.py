@@ -106,8 +106,15 @@ def run_reference(name, d, seed=0):
     to_ref = lambda s: Data(s.src, s.dst, s.ts, s.eid, s.label)
     train_data, full_data = to_ref(d.train), to_ref(d.full)
     strategy = "time_interval_aware" if name == "CAWN" else "recent"
-    train_sampler = get_neighbor_sampler(train_data, strategy, seed=0)
-    full_sampler = get_neighbor_sampler(full_data, strategy, seed=1)
+    # time_scaling_factor=1e-6 matches BOTH our side's TrainConfig default
+    # and the reference's own best-config value for CAWN
+    # (load_configs.py:121-133). Round-2 ran the ref side at the
+    # get_neighbor_sampler DEFAULT 0.0 (rank-based tia weights) while ours
+    # trained at 1e-6 — the two sides sampled from different tia
+    # distributions, which is exactly the kind of artifact the CAWN "-0.95
+    # AP deficit" investigation (VERDICT r2 #2) had to rule out.
+    train_sampler = get_neighbor_sampler(train_data, strategy, 1e-6, seed=0)
+    full_sampler = get_neighbor_sampler(full_data, strategy, 1e-6, seed=1)
     train_neg = ReplayNegs(train_data.src_node_ids, train_data.dst_node_ids,
                            seed=1000 + seed)
     val_neg = ReplayNegs(full_data.src_node_ids, full_data.dst_node_ids, seed=0)

@@ -71,8 +71,9 @@ def _set_linear(tl, kernel, bias=None):
 def _transplant_bilstm(torch_lstm, p):
     """Our fused-gate tree BiLSTM params -> torch bidirectional nn.LSTM.
 
-    Gate order matches ([i, f, g, o]); flax folds the two torch biases into
-    one (bias_hh := 0). The backward recurrent kernel only influences
+    Gate order matches ([i, f, g, o]); both torch bias vectors map
+    directly (ours keeps b_ih and b_hh separate for init-distribution
+    parity). The backward recurrent kernel only influences
     positions the read-at-last-valid never observes (the read position is
     the FIRST step of torch's reverse scan, h0 = 0), so any value matches;
     we copy ours for cleanliness."""
@@ -84,7 +85,7 @@ def _transplant_bilstm(torch_lstm, p):
             torch.from_numpy(np.asarray(p["fwd_wh"]).T.copy())
         )
         torch_lstm.bias_ih_l0.copy_(torch.from_numpy(np.asarray(p["fwd_b"]).copy()))
-        torch_lstm.bias_hh_l0.zero_()
+        torch_lstm.bias_hh_l0.copy_(torch.from_numpy(np.asarray(p["fwd_bh"]).copy()))
         torch_lstm.weight_ih_l0_reverse.copy_(
             torch.from_numpy(np.asarray(p["bwd_wx"]).T.copy())
         )
@@ -94,7 +95,9 @@ def _transplant_bilstm(torch_lstm, p):
         torch_lstm.bias_ih_l0_reverse.copy_(
             torch.from_numpy(np.asarray(p["bwd_b"]).copy())
         )
-        torch_lstm.bias_hh_l0_reverse.zero_()
+        torch_lstm.bias_hh_l0_reverse.copy_(
+            torch.from_numpy(np.asarray(p["bwd_bh"]).copy())
+        )
 
 
 def _transplant_transformer(ref_te, p):

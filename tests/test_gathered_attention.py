@@ -26,7 +26,8 @@ from dyglib_tpu.ops.pallas.gathered_attention import (
 def _rand_case(seed=0, M=50, K=20, Dn=12, De=12, Dt=10, Dq=16, H=2):
     rng = np.random.RandomState(seed)
     q3 = jnp.asarray(rng.randn(M, Dq).astype(np.float32))
-    feat = jnp.asarray(rng.randn(M * K, Dn + De).astype(np.float32))
+    feat_n = jnp.asarray(rng.randn(M * K, Dn).astype(np.float32))
+    feat_e = jnp.asarray(rng.randn(M * K, De).astype(np.float32))
     dt = jnp.asarray((rng.rand(M, K) * 5).astype(np.float32))
     mask = jnp.asarray((rng.rand(M, K) > 0.3).astype(np.float32))
     mask = mask.at[3].set(0.0)  # an all-padded row (uniform attention)
@@ -35,7 +36,7 @@ def _rand_case(seed=0, M=50, K=20, Dn=12, De=12, Dt=10, Dq=16, H=2):
     tb = jnp.asarray(rng.randn(Dt).astype(np.float32))
     wk = jnp.asarray((rng.randn(Dn + De + Dt, Dq) * 0.1).astype(np.float32))
     wv = jnp.asarray((rng.randn(Dn + De + Dt, Dq) * 0.1).astype(np.float32))
-    return q3, feat, dt, mask, keep, (tw, tb), (wk, wv), H
+    return q3, feat_n, feat_e, dt, mask, keep, (tw, tb), (wk, wv), H
 
 
 @pytest.mark.parametrize("seed,m", [(0, 50), (2, 7)])  # m=7 < BLK: pad path
@@ -47,10 +48,12 @@ def test_kernel_matches_oracle_forward(seed, m):
 
 
 def test_kernel_matches_oracle_gradients():
-    q3, feat, dt, mask, keep, time_wb, wkv, H = _rand_case(seed=1)
+    q3, feat_n, feat_e, dt, mask, keep, time_wb, wkv, H = _rand_case(seed=1)
 
     def loss(fn, q3, time_wb, wkv):
-        return (fn(q3, feat, dt, mask, keep, time_wb, wkv, H) ** 2).sum()
+        return (
+            fn(q3, feat_n, feat_e, dt, mask, keep, time_wb, wkv, H) ** 2
+        ).sum()
 
     g = jax.grad(
         lambda *a: loss(gathered_attention, *a), argnums=(0, 1, 2)

@@ -85,28 +85,13 @@ def _transplant(ref, p, model_name):
     cell = p["memory_cell"]
     upd = ref.memory_updater.memory_updater  # torch GRUCell / RNNCell
     with torch.no_grad():
-        if model_name == "TGN":
-            # flax GRUCell: r=sig(Wir x + bir + Whr h); z likewise; n=tanh(
-            # Win x + bin + r*(Whn h + bhn)) — torch adds bhr/bhz, set to 0
-            w_ih = np.concatenate(
-                [np.asarray(cell[g]["kernel"]).T for g in ("ir", "iz", "in")]
-            )
-            w_hh = np.concatenate(
-                [np.asarray(cell[g]["kernel"]).T for g in ("hr", "hz", "hn")]
-            )
-            b_ih = np.concatenate(
-                [np.asarray(cell[g]["bias"]) for g in ("ir", "iz", "in")]
-            )
-            b_hh = np.concatenate(
-                [np.zeros(D, np.float32), np.zeros(D, np.float32),
-                 np.asarray(cell["hn"]["bias"])]
-            )
-        else:
-            # flax SimpleCell: h' = tanh(Wi x + bi + Wh h)
-            w_ih = np.asarray(cell["i"]["kernel"]).T
-            w_hh = np.asarray(cell["h"]["kernel"]).T
-            b_ih = np.asarray(cell["i"]["bias"])
-            b_hh = np.zeros(D, np.float32)
+        # FusedGRUCell / FusedRNNCell use torch's EXACT parameterization
+        # (wi (D,[3]H), wh (H,[3]H), bi, bh — gate order [r|z|n]): the
+        # transplant is a direct transpose, both bias vectors included
+        w_ih = np.asarray(cell["wi"]).T
+        w_hh = np.asarray(cell["wh"]).T
+        b_ih = np.asarray(cell["bi"])
+        b_hh = np.asarray(cell["bh"])
         upd.weight_ih.copy_(torch.from_numpy(w_ih.copy()))
         upd.weight_hh.copy_(torch.from_numpy(w_hh.copy()))
         upd.bias_ih.copy_(torch.from_numpy(b_ih.copy()))
