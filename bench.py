@@ -2,8 +2,14 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N,
-   "models": {name: {"ms_per_step": ..., "edges_per_s": ...}, ...},
+   "models": {name: {"ms_per_step": ..., "edges_per_s": ...,
+                     "tflops": ..., "mfu_pct": ...}, ...},
    "flagship_tflops": ...}
+
+Per-model "tflops" is achieved FLOP/s from XLA's cost analysis over the
+measured window; "mfu_pct" is that against the 135 TF/s measured bf16
+matmul roofline of this chip (BASELINE.md) — making "fast" falsifiable
+per family and regressions machine-visible.
 
 The headline value is the flagship (DyGFormer) fused-scan number; the
 "models" table carries the full per-model sweep so every family's perf is
@@ -122,6 +128,11 @@ def main(which: str = "all"):
         lambda i: jax.random.fold_in(jax.random.PRNGKey(0), i)
     )(jnp.arange(N_SCAN))
 
+    # measured single-op bf16 matmul roofline on this chip: 115-155 TF/s
+    # (BASELINE.md hlo_stats note); midpoint used as the MFU denominator so
+    # per-model achieved-TF/s is comparable ACROSS models and rounds
+    MATMUL_ROOFLINE_TFS = 135.0
+
     results = {}
     flagship_tflops = None
     for name, make in backbones.items():
@@ -144,20 +155,28 @@ def main(which: str = "all"):
                 "ms_per_step": round(dt * 1e3, 2),
                 "edges_per_s": round(B / dt, 1),
             }
-            print(f"{name:>10}: {dt*1e3:7.2f} ms/step | {B/dt:8.0f} edges/s",
-                  file=sys.stderr, flush=True)
-            if name == flagship:
-                try:  # achieved FLOP/s from XLA cost analysis (MFU numerator)
-                    cost = tr.train_epoch_scan_fn.lower(
-                        *out, tr.train_csr, stacked, scan_keys
-                    ).compile().cost_analysis()
-                    if isinstance(cost, list):
-                        cost = cost[0]
-                    flagship_tflops = round(
-                        float(cost["flops"]) / (dt * N_SCAN) / 1e12, 2
-                    )
-                except Exception as e:  # cost analysis is best-effort
-                    print(f"cost_analysis failed: {e}", file=sys.stderr)
+            try:  # achieved FLOP/s from XLA cost analysis, per model
+                cost = tr.train_epoch_scan_fn.lower(
+                    *out, tr.train_csr, stacked, scan_keys
+                ).compile().cost_analysis()
+                if isinstance(cost, list):
+                    cost = cost[0]
+                tflops = float(cost["flops"]) / (dt * N_SCAN) / 1e12
+                results[name]["tflops"] = round(tflops, 3)
+                results[name]["mfu_pct"] = round(
+                    100.0 * tflops / MATMUL_ROOFLINE_TFS, 2
+                )
+                if name == flagship:
+                    flagship_tflops = round(tflops, 2)
+            except Exception as e:  # cost analysis is best-effort
+                print(f"{name} cost_analysis failed: {e}", file=sys.stderr)
+            print(
+                f"{name:>10}: {dt*1e3:7.2f} ms/step | {B/dt:8.0f} edges/s | "
+                f"{results[name].get('tflops', float('nan')):6.2f} TF/s "
+                f"({results[name].get('mfu_pct', float('nan')):.1f}% of "
+                f"matmul roofline)",
+                file=sys.stderr, flush=True,
+            )
             if "--dispatch" in sys.argv and name == flagship:
                 params, opt_state, state = out
                 key = jax.random.PRNGKey(0)

@@ -65,18 +65,41 @@ class DyGFormerInputs(NamedTuple):
 
 class PreLNTransformerEncoder(nn.Module):
     """DyGFormer's local pre-LN block (DyGFormer.py:418-461): norm -> MHA ->
-    residual; norm -> GELU FFN -> residual. No padding mask."""
+    residual; norm -> GELU FFN -> residual. No padding mask.
+
+    ``seq_axis``: mesh axis name for Ulysses-style sequence sharding
+    (SURVEY §2.6/§5 "design for it at the attention-kernel interface").
+    When set and a mesh is active, tokens are sharded over that axis for
+    the projections/LN/FFN and the attention itself runs HEAD-sharded over
+    the same axis — the layout flip is expressed as sharding constraints
+    and XLA inserts the two all_to_alls over ICI (the scaling-book recipe:
+    annotate, don't hand-schedule). Requires num_heads and the token count
+    to be divisible by the axis size. Numerically identical to the
+    unsharded path (tests/test_seq_sharded_attention.py)."""
 
     attention_dim: int
     num_heads: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         d = self.attention_dim
         hd = d // self.num_heads
         b, t, _ = x.shape
+        if self.seq_axis is not None and not self.is_initializing():
+            # no-op during init: param init runs on the single-device CPU
+            # backend (remote-compile workaround) where the mesh axes
+            # don't exist; constraints only matter for the real step
+            from jax.sharding import PartitionSpec as P
+
+            shard = lambda arr, spec: jax.lax.with_sharding_constraint(
+                arr, P(*spec)
+            )
+        else:
+            shard = lambda arr, spec: arr
+        sa = self.seq_axis
         # torch nn.MultiheadAttention init: xavier-uniform in_proj with
         # zero bias, default-Linear out_proj kernel with zero bias
         attn_proj = lambda name: TorchLinear(
@@ -84,19 +107,27 @@ class PreLNTransformerEncoder(nn.Module):
             kernel_init_override=xavier_uniform_init, zero_bias=True,
         )
         dense = lambda dd, name: TorchLinear(dd, dtype=self.dtype, name=name)
+        x = shard(x, (None, sa, None))  # token-sharded residual stream
         h = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x).astype(self.dtype)
         q = attn_proj("q_proj")(h).reshape(b, t, self.num_heads, hd)
         k = attn_proj("k_proj")(h).reshape(b, t, self.num_heads, hd)
         v = attn_proj("v_proj")(h).reshape(b, t, self.num_heads, hd)
+        # Ulysses layout flip: tokens -> heads (XLA emits an all_to_all)
+        q = shard(q, (None, None, sa, None))
+        k = shard(k, (None, None, sa, None))
+        v = shard(v, (None, None, sa, None))
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / jnp.sqrt(
             hd
         ).astype(jnp.float32)
+        attn = shard(attn, (None, sa, None, None))  # head-sharded scores
         scores = nn.Dropout(self.dropout, deterministic=not train)(
             nn.softmax(attn, axis=-1)
         )
         hidden = jnp.einsum(
             "bhqk,bkhd->bqhd", scores.astype(self.dtype), v
-        ).reshape(b, t, d)
+        )
+        # flip back: heads -> tokens (second all_to_all)
+        hidden = shard(hidden, (None, sa, None, None)).reshape(b, t, d)
         hidden = TorchLinear(
             d, dtype=self.dtype, name="out_proj", zero_bias=True
         )(hidden)
@@ -122,6 +153,7 @@ class DyGFormerNet(nn.Module):
     num_heads: int = 2
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32  # computation dtype (params stay f32)
+    seq_axis: str | None = None  # Ulysses sequence sharding (see encoder)
 
     @nn.compact
     def __call__(
@@ -184,7 +216,7 @@ class DyGFormerNet(nn.Module):
         for i in range(self.num_layers):
             joint = PreLNTransformerEncoder(
                 4 * ced, self.num_heads, self.dropout, dtype=self.dtype,
-                name=f"transformer_{i}",
+                seq_axis=self.seq_axis, name=f"transformer_{i}",
             )(joint, train=train)
         out_l = joint[:, :p, :].mean(axis=1)
         out_r = joint[:, p:, :].mean(axis=1)
@@ -210,6 +242,11 @@ class DyGFormer:
     has_state: bool = False
     pair_independent: bool = False  # co-occurrence encoder is pair-aware
     sample_strategy: str = "recent"  # full-history truncation is recency-based
+    # mesh axis name for Ulysses sequence sharding of the joint patch-token
+    # attention (PreLNTransformerEncoder.seq_axis). None = unsharded. Use
+    # with a mesh whose named axis divides num_heads AND the joint token
+    # count 2 * seq_len / patch_size (CanParl 2048/64: 64 joint tokens).
+    sequence_axis: str | None = None
 
     @property
     def seq_len(self) -> int:
@@ -247,6 +284,7 @@ class DyGFormer:
             num_heads=self.num_heads,
             dropout=self.dropout,
             dtype=jnp.dtype(self.compute_dtype),
+            seq_axis=self.sequence_axis,
         )
 
     def sample(

@@ -778,6 +778,7 @@ class LinkPredictionTrainer:
             early.counter = ck["extra"].get("early_counter", 0)
             log(f"resuming from epoch {start_epoch + 1}, batch {start_batch}")
 
+        epoch_mean_losses: list = []
         for epoch in range(start_epoch, self.cfg.num_epochs):
             t0 = time.time()
             # optional profiler capture of the second epoch (first is
@@ -814,6 +815,7 @@ class LinkPredictionTrainer:
             mv = self.mean_metrics(val_metrics)
             last_val_metrics = mv
             last_nn_val_metrics = self.mean_metrics(nn_val_metrics)
+            epoch_mean_losses.append(float(np.mean(tr_losses)))
             dt = time.time() - t0
             n_train = len(tr_losses) * self.cfg.batch_size
             log(
@@ -855,7 +857,7 @@ class LinkPredictionTrainer:
             if best["state"] is not None else None
         )
 
-        results: dict = {}
+        results: dict = {"train losses": epoch_mean_losses}
         if not self.has_state:
             _, val_metrics, _ = self.evaluate(
                 params, self.data.val, self.val_neg, 0

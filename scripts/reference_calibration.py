@@ -283,12 +283,18 @@ def run_ours(name, d, seed=0):
     params, opt_state = tr.init_params(seed)
     state = tr.init_state()
     ap_by_epoch = []
+    # CAL_FIXED_EPOCH_KEY=1: reuse one root key across epochs — diagnostic
+    # replicating the reference's per-epoch sampler RNG reset
+    # (set_neighbor_sampler -> reset_random_state, seed 0), under which the
+    # reference trains on IDENTICAL walk/neighbor draws every epoch
+    fixed_key = os.environ.get("CAL_FIXED_EPOCH_KEY") == "1"
     for epoch in range(EPOCHS):
         t0 = time.time()
         params, opt_state, state, losses, _ = tr.train_epoch(
             params, opt_state,
             tr.init_state() if tr.has_state else state,
-            epoch, jax.random.PRNGKey(1 + seed * 1000 + epoch),
+            epoch,
+            jax.random.PRNGKey(1 + seed * 1000 + (0 if fixed_key else epoch)),
         )
         _, val_metrics, _ = tr.evaluate(params, d.val, val_neg, 0, state=state)
         m = tr.mean_metrics(val_metrics)

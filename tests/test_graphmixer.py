@@ -62,7 +62,10 @@ def test_graphmixer_end_to_end(link_data, tmp_path):
     trainer = LinkPredictionTrainer(backbone, link_data, cfg, str(tmp_path / "gm.pkl"))
     results = trainer.fit(seed=0, log=lambda *a: None)
     ap = results["test metrics"]["average_precision"]
-    assert ap > 0.55, f"GraphMixer test AP {ap}"
+    # band floor (tests/calibration_fixture.json): ours 0.7517 +- 0.0195,
+    # ref 0.7591 +- 0.0128 -> mean - 3.25 sigma ~ 0.68 (old 0.55 was
+    # insensitive by a full 0.2 AP)
+    assert ap > 0.68, f"GraphMixer test AP {ap}"
 
 
 def test_node_encoder_prefix_matches_gather(link_data):

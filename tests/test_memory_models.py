@@ -198,7 +198,11 @@ def test_memory_model_end_to_end(model_name, link_data, tmp_path):
     )
     results = trainer.fit(seed=0, log=lambda *a: None)
     ap = results["test metrics"]["average_precision"]
-    assert 0.4 < ap <= 1.0  # learns or at least doesn't diverge in 2 epochs
+    # band floors (tests/calibration_fixture.json, this exact 2-epoch
+    # protocol, mean - 3.25 sigma over 5 seeds): TGN 0.6321 +- 0.0303,
+    # JODIE 0.5202 +- 0.0247, DyRep 0.4914 +- 0.0355
+    floor = {"TGN": 0.53, "JODIE": 0.44, "DyRep": 0.38}[model_name]
+    assert floor < ap <= 1.0, f"{model_name} test AP {ap} < floor {floor}"
     assert np.isfinite(ap)
 
 
