@@ -224,8 +224,15 @@ class LinkPredictionTrainer:
         self._build_steps()
 
     # ---------------------------------------------------------------- jitted
-    def _forward(self, params, csr, batch, key, train, state, commit, bucket=None):
+    def _forward(self, params, csr, tables, batch, key, train, state, commit,
+                 bucket=None):
         """Quad forward (+ optional state commit) -> loss, probs, new_state.
+
+        ``tables`` is an explicit traced argument, never a closure: feature
+        tables closed over a jitted function become captured lowering
+        constants, which this platform ships inside the remote-compile
+        request — at the 10M-edge scale that is a 7.6 GB HTTP body (the
+        compile service rejects >~300 MB).
 
         Training embeds only the TRIPLE [src, dst, neg_dst] for
         pair-independent backbones and reuses the src embedding for neg_src:
@@ -262,12 +269,12 @@ class LinkPredictionTrainer:
 
         if self.has_state:
             embs, raw4 = self.backbone.embed_quad(
-                params["backbone"], self.tables, state, inputs,
+                params["backbone"], tables, state, inputs,
                 train=train, rngs=rngs,
             )
             if commit:
                 new_state = self.backbone.commit(
-                    params["backbone"], self.tables, state,
+                    params["backbone"], tables, state,
                     src, dst, ts, eid, valid,
                     raw4[:b], raw4[b : 2 * b],
                 )
@@ -275,7 +282,7 @@ class LinkPredictionTrainer:
                 new_state = state
         else:
             embs = self.backbone.apply(
-                params["backbone"], self.tables, inputs,
+                params["backbone"], tables, inputs,
                 state=state, train=train, rngs=rngs,
             )
             raw4 = embs
@@ -300,10 +307,11 @@ class LinkPredictionTrainer:
         return loss, probs, new_state, raw4
 
     def _build_steps(self):
-        def train_step(params, opt_state, state, csr, batch, key, bucket=None):
+        def train_step(params, opt_state, state, csr, tables, batch, key,
+                       bucket=None):
             def loss_fn(p):
                 loss, probs, _, raw4 = self._forward(
-                    p, csr, batch, key, True, state, False, bucket
+                    p, csr, tables, batch, key, True, state, False, bucket
                 )
                 return loss, (probs, raw4)
 
@@ -320,7 +328,7 @@ class LinkPredictionTrainer:
                 src, dst, _, _, ts, eid, valid = batch
                 b = src.shape[0]
                 new_state = self.backbone.commit(
-                    params["backbone"], self.tables, state,
+                    params["backbone"], tables, state,
                     src, dst, ts, eid, valid, raw4[:b], raw4[b : 2 * b],
                 )
             else:
@@ -329,13 +337,13 @@ class LinkPredictionTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, new_state, loss, probs
 
-        def eval_step(params, state, csr, batch, key, bucket=None):
+        def eval_step(params, state, csr, tables, batch, key, bucket=None):
             loss, probs, new_state, _ = self._forward(
-                params, csr, batch, key, False, state, True, bucket
+                params, csr, tables, batch, key, False, state, True, bucket
             )
             return loss, probs, new_state
 
-        def eval_scan(params, state, csr, stacked_batches, keys):
+        def eval_scan(params, state, csr, tables, stacked_batches, keys):
             """Whole evaluation sweep as one lax.scan program — removes the
             per-batch host dispatch (the dominant eval cost when the device
             is reached through a network tunnel). State (memory models)
@@ -343,7 +351,9 @@ class LinkPredictionTrainer:
 
             def body(state, inp):
                 batch, key = inp
-                loss, probs, state = eval_step(params, state, csr, batch, key)
+                loss, probs, state = eval_step(
+                    params, state, csr, tables, batch, key
+                )
                 return state, (loss, probs)
 
             state, (losses, probs) = jax.lax.scan(
@@ -351,7 +361,8 @@ class LinkPredictionTrainer:
             )
             return losses, probs, state
 
-        def train_epoch_scan(params, opt_state, state, csr, stacked_batches, keys):
+        def train_epoch_scan(params, opt_state, state, csr, tables,
+                             stacked_batches, keys):
             """Whole epoch as one lax.scan — removes per-batch host dispatch
             (valuable when the dispatch path, not the chip, is the
             bottleneck). Semantics identical to the per-batch loop given
@@ -362,7 +373,7 @@ class LinkPredictionTrainer:
                 params, opt_state, state = carry
                 batch, key = inp
                 params, opt_state, state, loss, probs = train_step(
-                    params, opt_state, state, csr, batch, key
+                    params, opt_state, state, csr, tables, batch, key
                 )
                 return (params, opt_state, state), (loss, probs)
 
@@ -376,12 +387,41 @@ class LinkPredictionTrainer:
         # and the node-memory table in place instead of allocating fresh HBM
         # each step. eval_step does NOT donate state — the train-state backup
         # is reused across the val and new-node-val sweeps (train:276-287).
-        self.train_step = jax.jit(
-            train_step, donate_argnums=(0, 1, 2), static_argnums=(6,)
+        #
+        # Feature tables are threaded as an explicit traced argument (see
+        # _forward docstring); the public step attributes keep their
+        # historical signatures via wrappers that inject self.tables at
+        # CALL time — so re-placing the tables (mesh sharding, graft
+        # dryrun) needs no rebuild.
+        jit_train_step = jax.jit(
+            train_step, donate_argnums=(0, 1, 2), static_argnums=(7,)
         )
-        self.eval_step = jax.jit(eval_step, static_argnums=(5,))
-        self.eval_scan_fn = jax.jit(eval_scan)
-        self.train_epoch_scan_fn = jax.jit(train_epoch_scan, donate_argnums=(0, 1, 2))
+        jit_eval_step = jax.jit(eval_step, static_argnums=(6,))
+        jit_eval_scan = jax.jit(eval_scan)
+        jit_train_epoch_scan = jax.jit(
+            train_epoch_scan, donate_argnums=(0, 1, 2)
+        )
+        self.train_step = (
+            lambda params, opt_state, state, csr, batch, key, bucket=None:
+            jit_train_step(
+                params, opt_state, state, csr, self.tables, batch, key, bucket
+            )
+        )
+        self.eval_step = (
+            lambda params, state, csr, batch, key, bucket=None:
+            jit_eval_step(params, state, csr, self.tables, batch, key, bucket)
+        )
+        self.eval_scan_fn = (
+            lambda params, state, csr, stacked_batches, keys:
+            jit_eval_scan(params, state, csr, self.tables, stacked_batches, keys)
+        )
+        self.train_epoch_scan_fn = (
+            lambda params, opt_state, state, csr, stacked_batches, keys:
+            jit_train_epoch_scan(
+                params, opt_state, state, csr, self.tables,
+                stacked_batches, keys,
+            )
+        )
 
     # ----------------------------------------------------------------- setup
     def init_params(self, seed: int):

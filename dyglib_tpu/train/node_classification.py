@@ -78,7 +78,7 @@ class NodeClassificationTrainer:
         self._build_steps()
 
     # ---------------------------------------------------------------- jitted
-    def _src_embeddings(self, csr, batch, key, state):
+    def _src_embeddings(self, csr, tables, batch, key, state):
         """Frozen-backbone source embeddings (+ state transition).
 
         Pair-aware backbones (TCL/CAWN/DyGFormer) need the quad row layout
@@ -103,13 +103,13 @@ class NodeClassificationTrainer:
                 roles=segment_roles(src.shape[0], ("src", "dst", "src", "dst")[:reps])
             )
             embs4, new_state = self.backbone.forward_and_maybe_commit(
-                self.backbone_params, self.tables, state, inputs,
+                self.backbone_params, tables, state, inputs,
                 src, dst, ts, eid, valid,
                 edges_are_positive=True, train=False, rngs=None,
             )
         else:
             embs4 = self.backbone.apply(
-                self.backbone_params, self.tables, inputs, state=state,
+                self.backbone_params, tables, inputs, state=state,
                 train=False, rngs=None,
             )
             new_state = state
@@ -117,9 +117,12 @@ class NodeClassificationTrainer:
         return jax.lax.stop_gradient(embs4[:b]), new_state
 
     def _build_steps(self):
-        def train_step(head_params, opt_state, state, csr, batch, labels, key):
+        def train_step(head_params, opt_state, state, csr, tables, batch,
+                       labels, key):
             sample_key, dropout_key = jax.random.split(key)
-            src_emb, new_state = self._src_embeddings(csr, batch, sample_key, state)
+            src_emb, new_state = self._src_embeddings(
+                csr, tables, batch, sample_key, state
+            )
             valid = batch[-1]
 
             def loss_fn(hp):
@@ -136,13 +139,25 @@ class NodeClassificationTrainer:
             head_params = optax.apply_updates(head_params, updates)
             return head_params, opt_state, new_state, loss, jax.nn.sigmoid(logits)
 
-        def eval_step(head_params, state, csr, batch, key):
-            src_emb, new_state = self._src_embeddings(csr, batch, key, state)
+        def eval_step(head_params, state, csr, tables, batch, key):
+            src_emb, new_state = self._src_embeddings(csr, tables, batch, key, state)
             logits = self.head.apply(head_params, src_emb, train=False)[..., 0]
             return jax.nn.sigmoid(logits), new_state
 
-        self.train_step = jax.jit(train_step)
-        self.eval_step = jax.jit(eval_step)
+        # tables as explicit traced args (see LinkPredictionTrainer
+        # _forward: closures become remote-compile request constants);
+        # public signatures preserved via call-time injection wrappers
+        jit_train_step = jax.jit(train_step)
+        jit_eval_step = jax.jit(eval_step)
+        self.train_step = (
+            lambda head_params, opt_state, state, csr, batch, labels, key:
+            jit_train_step(head_params, opt_state, state, csr,
+                           self.tables, batch, labels, key)
+        )
+        self.eval_step = (
+            lambda head_params, state, csr, batch, key:
+            jit_eval_step(head_params, state, csr, self.tables, batch, key)
+        )
 
     # ----------------------------------------------------------------- loops
     def _batch_arrays(self, b: Batch):
