@@ -156,8 +156,8 @@ def main(which: str = "all"):
                 "edges_per_s": round(B / dt, 1),
             }
             try:  # achieved FLOP/s from XLA cost analysis, per model
-                cost = tr.train_epoch_scan_fn.lower(
-                    *out, tr.train_csr, stacked, scan_keys
+                cost = tr.train_epoch_scan_jit.lower(
+                    *out, tr.train_csr, tr.tables, stacked, scan_keys
                 ).compile().cost_analysis()
                 if isinstance(cost, list):
                     cost = cost[0]

@@ -422,6 +422,10 @@ class LinkPredictionTrainer:
                 stacked_batches, keys,
             )
         )
+        # raw jit objects for .lower()/cost-analysis consumers (bench.py);
+        # callers pass tables explicitly
+        self.train_epoch_scan_jit = jit_train_epoch_scan
+        self.train_step_jit = jit_train_step
 
     # ----------------------------------------------------------------- setup
     def init_params(self, seed: int):

@@ -22,7 +22,7 @@ def multi_step(params, opt_state, csr, batches, key):
     def one(carry, batch):
         params, opt_state = carry
         def loss_fn(p):
-            loss, probs, _ = tr._forward(p, csr, batch, key, True, None, True)
+            loss, probs, _ = tr._forward(p, csr, tr.tables, batch, key, True, None, True)
             return loss, probs
         (loss, probs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tr.optim.update(grads, opt_state, params)

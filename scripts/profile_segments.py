@@ -87,7 +87,7 @@ def seg_sample(params, opt_state, csr, stacked, keys):
 def seg_forward(params, opt_state, csr, stacked, keys):
     def body(carry, inp):
         batch, key = inp
-        loss, probs, _, _ = tr._forward(params, csr, batch, key, True, None, False)
+        loss, probs, _, _ = tr._forward(params, csr, tr.tables, batch, key, True, None, False)
         return carry, loss
 
     return jax.lax.scan(body, 0.0, (stacked, keys))
@@ -98,7 +98,7 @@ def seg_grad(params, opt_state, csr, stacked, keys):
         batch, key = inp
 
         def loss_fn(p):
-            loss, probs, _, _ = tr._forward(p, csr, batch, key, True, None, False)
+            loss, probs, _, _ = tr._forward(p, csr, tr.tables, batch, key, True, None, False)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -116,7 +116,7 @@ def seg_full(params, opt_state, csr, stacked, keys):
         batch, key = inp
 
         def loss_fn(p):
-            loss, probs, _, _ = tr._forward(p, csr, batch, key, True, None, False)
+            loss, probs, _, _ = tr._forward(p, csr, tr.tables, batch, key, True, None, False)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

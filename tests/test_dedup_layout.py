@@ -93,13 +93,15 @@ def test_triple_forward_equals_quad(name, link_data, tmp_path):
         return
 
     loss_t, (pos_t, neg_t), _, _ = trainer._forward(
-        params, trainer.train_csr, arrays, key, True, state, False
+        params, trainer.train_csr, trainer.tables, arrays, key, True,
+        state, False
     )
     # force the quad path on the same batch/key (neg_src = src)
     backbone.pair_independent = False
     try:
         loss_q, (pos_q, neg_q), _, _ = trainer._forward(
-            params, trainer.train_csr, arrays, key, True, state, False
+            params, trainer.train_csr, trainer.tables, arrays, key, True,
+            state, False
         )
     finally:
         backbone.pair_independent = True
@@ -186,7 +188,7 @@ def test_jodie_node_classification_layout(link_data, tmp_path):
     b = next(chronological_batches(nc_data.train, cfg.batch_size))
     batch = nc._batch_arrays(b)
     key = jax.random.PRNGKey(7)
-    src_emb, _ = nc._src_embeddings(nc.full_csr, batch, key, state)
+    src_emb, _ = nc._src_embeddings(nc.full_csr, nc.tables, batch, key, state)
 
     # oracle: quad layout through the backbone's embed with explicit roles
     src, dst, ts, eid, valid = batch
