@@ -144,11 +144,51 @@ class NodeClassificationTrainer:
             logits = self.head.apply(head_params, src_emb, train=False)[..., 0]
             return jax.nn.sigmoid(logits), new_state
 
+        def train_scan(head_params, opt_state, state, csr, tables,
+                       stacked, labels, keys):
+            """Whole head-training epoch as ONE lax.scan program — the same
+            dispatch-fusion as LinkPredictionTrainer.train_epoch_scan (per
+            batch host dispatch dominates when the device sits behind a
+            network tunnel)."""
+
+            def body(carry, inp):
+                hp, os_, st = carry
+                batch, lab, key = inp
+                hp, os_, st, loss, _ = train_step(
+                    hp, os_, st, csr, tables, batch, lab, key
+                )
+                return (hp, os_, st), loss
+
+            (head_params, opt_state, state), losses = jax.lax.scan(
+                body, (head_params, opt_state, state), (stacked, labels, keys)
+            )
+            return head_params, opt_state, state, losses
+
+        def eval_scan(head_params, state, csr, tables, stacked, keys):
+            def body(st, inp):
+                batch, key = inp
+                p, st = eval_step(head_params, st, csr, tables, batch, key)
+                return st, p
+
+            state, probs = jax.lax.scan(body, state, (stacked, keys))
+            return probs, state
+
         # tables as explicit traced args (see LinkPredictionTrainer
         # _forward: closures become remote-compile request constants);
         # public signatures preserved via call-time injection wrappers
         jit_train_step = jax.jit(train_step)
         jit_eval_step = jax.jit(eval_step)
+        jit_train_scan = jax.jit(train_scan, donate_argnums=(0, 1, 2))
+        jit_eval_scan = jax.jit(eval_scan)
+        self.train_scan_fn = (
+            lambda head_params, opt_state, state, csr, stacked, labels, keys:
+            jit_train_scan(head_params, opt_state, state, csr, self.tables,
+                           stacked, labels, keys)
+        )
+        self.eval_scan_fn = (
+            lambda head_params, state, csr, stacked, keys:
+            jit_eval_scan(head_params, state, csr, self.tables, stacked, keys)
+        )
         self.train_step = (
             lambda head_params, opt_state, state, csr, batch, labels, key:
             jit_train_step(head_params, opt_state, state, csr,
@@ -182,18 +222,46 @@ class NodeClassificationTrainer:
     def init_state(self):
         return self.backbone.init_state(self.tables) if self.has_state else None
 
+    def _stacked_batches(self, stream: EdgeStream, key):
+        """(stacked batch arrays, stacked labels, keys, valid counts)."""
+        batches = list(chronological_batches(stream, self.cfg.batch_size))
+        arrays = [self._batch_arrays(b) for b in batches]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *arrays
+        )
+        labels = jnp.stack(
+            [jnp.asarray(b.label, jnp.float32) for b in batches]
+        )
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(len(batches))
+        )
+        return batches, stacked, labels, keys
+
     def evaluate(self, head_params, stream: EdgeStream, state=None, salt=0):
         """Global-AUC sweep (evaluate_models_utils.py:157-242)."""
         probs, labels = [], []
         key = jax.random.PRNGKey(999 + salt)
-        for i, b in enumerate(chronological_batches(stream, self.cfg.batch_size)):
-            p, state = self.eval_step(
-                head_params, state, self.full_csr,
-                self._batch_arrays(b), jax.random.fold_in(key, i),
+        if self.cfg.scan_epochs:
+            batches, stacked, _, keys = self._stacked_batches(stream, key)
+            p_all, state = self.eval_scan_fn(
+                head_params, state, self.full_csr, stacked, keys
             )
-            n = b.num_valid
-            probs.append(np.asarray(p)[:n])
-            labels.append(b.label[:n])
+            p_all = np.asarray(p_all)
+            for i, b in enumerate(batches):
+                n = b.num_valid
+                probs.append(p_all[i][:n])
+                labels.append(b.label[:n])
+        else:
+            for i, b in enumerate(
+                chronological_batches(stream, self.cfg.batch_size)
+            ):
+                p, state = self.eval_step(
+                    head_params, state, self.full_csr,
+                    self._batch_arrays(b), jax.random.fold_in(key, i),
+                )
+                n = b.num_valid
+                probs.append(np.asarray(p)[:n])
+                labels.append(b.label[:n])
         metrics = node_classification_metrics(
             np.concatenate(probs), np.concatenate(labels)
         )
@@ -207,17 +275,29 @@ class NodeClassificationTrainer:
         for epoch in range(self.cfg.num_epochs):
             t0 = time.time()
             state = self.init_state()
-            losses = []
-            for i, b in enumerate(
-                chronological_batches(self.data.train, self.cfg.batch_size)
-            ):
-                key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
-                head_params, opt_state, state, loss, _ = self.train_step(
-                    head_params, opt_state, state, self.full_csr,
-                    self._batch_arrays(b),
-                    jnp.asarray(b.label, jnp.float32), key,
+            if self.cfg.scan_epochs:
+                _, stacked, labels, keys = self._stacked_batches(
+                    self.data.train, jax.random.fold_in(root_key, epoch)
                 )
-                losses.append(float(loss))
+                head_params, opt_state, state, loss_arr = self.train_scan_fn(
+                    head_params, opt_state, state, self.full_csr,
+                    stacked, labels, keys,
+                )
+                losses = list(np.asarray(loss_arr))
+            else:
+                losses = []
+                for i, b in enumerate(
+                    chronological_batches(self.data.train, self.cfg.batch_size)
+                ):
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(root_key, epoch), i
+                    )
+                    head_params, opt_state, state, loss, _ = self.train_step(
+                        head_params, opt_state, state, self.full_csr,
+                        self._batch_arrays(b),
+                        jnp.asarray(b.label, jnp.float32), key,
+                    )
+                    losses.append(float(loss))
             val_metrics, val_state = self.evaluate(
                 head_params, self.data.val, state=state, salt=0
             )

@@ -167,3 +167,49 @@ def test_node_cls_evaluation_replays_when_state_missing(workdir):
         )
     finally:
         os.chdir(cwd)
+
+
+def test_node_cls_scan_mode_matches_loop(link_data, tmp_path):
+    """scan_epochs node-classification == the per-batch loop (losses and
+    global AUC), mirroring the link-prediction scan-mode contract."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dyglib_tpu.data.datasets import NodeClassificationData
+    from dyglib_tpu.models import TGAT
+    from dyglib_tpu.train import TrainConfig
+    from dyglib_tpu.train.node_classification import NodeClassificationTrainer
+
+    d = link_data
+    nc_data = NodeClassificationData(
+        node_raw_features=d.node_raw_features,
+        edge_raw_features=d.edge_raw_features,
+        full=d.full, train=d.train, val=d.val, test=d.test,
+    )
+    bk = TGAT(num_neighbors=5, num_layers=1)
+    from dyglib_tpu.graph import build_temporal_csr
+
+    csr = build_temporal_csr(d.train, num_nodes=d.num_nodes)
+    tables_np = (jnp.asarray(d.node_raw_features), jnp.asarray(d.edge_raw_features))
+    from dyglib_tpu.models.base import FeatureTables
+
+    params = bk.init(jax.random.PRNGKey(0),
+                     FeatureTables(node=tables_np[0], edge=tables_np[1]), csr)
+
+    def run(scan):
+        cfg = TrainConfig(batch_size=200, num_epochs=2, patience=5,
+                          learning_rate=1e-3, scan_epochs=scan)
+        tr = NodeClassificationTrainer(
+            TGAT(num_neighbors=5, num_layers=1), nc_data, cfg,
+            str(tmp_path / f"nc_{scan}.pkl"), params,
+        )
+        return tr.fit(seed=0, log=lambda *a: None)
+
+    r_loop = run(False)
+    r_scan = run(True)
+    np.testing.assert_allclose(
+        r_loop["test metrics"]["roc_auc"], r_scan["test metrics"]["roc_auc"],
+        atol=2e-3,
+    )
