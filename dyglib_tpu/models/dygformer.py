@@ -157,19 +157,33 @@ class DyGFormerNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, tables: FeatureTables, inputs: DyGFormerInputs, *, train: bool = False
+        self, tables: FeatureTables, inputs: DyGFormerInputs, *,
+        train: bool = False, triple: bool = False,
     ) -> jnp.ndarray:
         ced = self.channel_embedding_dim
         m, lp = inputs.seq_ids.shape
-        b = m // 4
         p = lp // self.patch_size
-        valid = inputs.seq_ids != 0  # (4B, Lp)
+        valid = inputs.seq_ids != 0  # (M, Lp)
 
-        # pair up: left = [src, neg_src], right = [dst, neg_dst]
-        li = jnp.concatenate([jnp.arange(b), jnp.arange(2 * b, 3 * b)])
-        ri = jnp.concatenate([jnp.arange(b, 2 * b), jnp.arange(3 * b, 4 * b)])
+        # row pairing. Quad [src||dst||neg_src||neg_dst]: left = [src,
+        # neg_src], right = [dst, neg_dst]. TRIPLE [src||dst||neg_dst]
+        # (training, where the reference's neg_src = src and 'recent'
+        # sampling is deterministic, so the neg_src rows' sequences are
+        # bit-identical to src's): the src rows' per-row channels are
+        # computed ONCE and indexed into both pairs — 25% less
+        # gather/Phi/projection work on the dominant per-entry stage.
+        if triple:
+            b = m // 3
+            li = jnp.concatenate([jnp.arange(b), jnp.arange(b)])
+            ri = jnp.concatenate([jnp.arange(b, 2 * b), jnp.arange(2 * b, 3 * b)])
+        else:
+            b = m // 4
+            li = jnp.concatenate([jnp.arange(b), jnp.arange(2 * b, 3 * b)])
+            ri = jnp.concatenate([jnp.arange(b, 2 * b), jnp.arange(3 * b, 4 * b)])
 
-        # ---- neighbor co-occurrence counts via batched equality
+        # ---- neighbor co-occurrence counts via batched equality, computed
+        # and kept in PAIR space (2B) — co-occurrence is the one channel
+        # that differs per partner
         ids_l, ids_r = inputs.seq_ids[li], inputs.seq_ids[ri]  # (2B, Lp)
         eq_ll = (ids_l[:, :, None] == ids_l[:, None, :]).astype(jnp.float32)
         eq_lr = (ids_l[:, :, None] == ids_r[:, None, :]).astype(jnp.float32)
@@ -180,18 +194,15 @@ class DyGFormerNet(nn.Module):
         )
         cnt_l = jnp.where(valid[li][..., None], cnt_l, 0.0)
         cnt_r = jnp.where(valid[ri][..., None], cnt_r, 0.0)
-        # re-assemble to quad order (4B, Lp, 2)
-        counts = jnp.concatenate(
-            [cnt_l[:b], cnt_r[:b], cnt_l[b:], cnt_r[b:]], axis=0
-        )
 
         # count -> feature: MLP per channel then sum (DyGFormer.py:396-409)
         co_fc1 = TorchLinear(ced, name="co_occurrence_fc1")
         co_fc2 = TorchLinear(ced, name="co_occurrence_fc2")
-        co_feat = co_fc2(nn.relu(co_fc1(counts[..., None]))).sum(axis=2)
+        co = lambda cnt: co_fc2(nn.relu(co_fc1(cnt[..., None]))).sum(axis=2)
+        co_l, co_r = co(cnt_l), co(cnt_r)  # (2B, Lp, ced)
 
-        # ---- raw features
-        node_feat = tables.node[inputs.seq_ids]  # (4B, Lp, Dn)
+        # ---- raw features (per ROW — M rows, shared across pairs)
+        node_feat = tables.node[inputs.seq_ids]  # (M, Lp, Dn)
         edge_feat = tables.edge[inputs.seq_eids]
         time_enc = TimeEncoder(self.time_feat_dim, name="time_encoder")
         dt = (inputs.query_ts[:, None] - inputs.seq_ts).astype(jnp.float32)
@@ -199,19 +210,27 @@ class DyGFormerNet(nn.Module):
 
         # ---- patching + channel projections
         def patches(x):
-            return x.reshape(m, p, self.patch_size * x.shape[-1])
+            return x.reshape(x.shape[0], p, self.patch_size * x.shape[-1])
 
         proj = lambda name: TorchLinear(ced, dtype=self.dtype, name=name)
-        ch = [
+        row_ch = [
             proj("proj_node")(patches(node_feat).astype(self.dtype)),
             proj("proj_edge")(patches(edge_feat).astype(self.dtype)),
             proj("proj_time")(patches(time_feat).astype(self.dtype)),
-            proj("proj_co_occurrence")(patches(co_feat).astype(self.dtype)),
-        ]
-        x = jnp.stack(ch, axis=2).reshape(m, p, 4 * ced)  # (4B, P, 4*ced)
+        ]  # each (M, P, ced)
+        co_proj = proj("proj_co_occurrence")
+        co_pl = co_proj(patches(co_l).astype(self.dtype))  # (2B, P, ced)
+        co_pr = co_proj(patches(co_r).astype(self.dtype))
+
+        # assemble pair-space token stacks directly (no quad round trip)
+        xl = jnp.stack(
+            [c[li] for c in row_ch] + [co_pl], axis=2
+        ).reshape(2 * b, p, 4 * ced)
+        xr = jnp.stack(
+            [c[ri] for c in row_ch] + [co_pr], axis=2
+        ).reshape(2 * b, p, 4 * ced)
 
         # ---- joint src||dst attention per pair
-        xl, xr = x[li], x[ri]  # (2B, P, D)
         joint = jnp.concatenate([xl, xr], axis=1).astype(jnp.float32)
         for i in range(self.num_layers):
             joint = PreLNTransformerEncoder(
@@ -241,6 +260,12 @@ class DyGFormer:
     compute_dtype: str = "float32"  # "bfloat16" for single-pass MXU compute
     has_state: bool = False
     pair_independent: bool = False  # co-occurrence encoder is pair-aware
+    # pair-AWARE but with deterministic ('recent') sampling: at train time
+    # the reference's neg_src = src makes the neg_src rows' sequences
+    # bit-identical to src's, so the trainer may send the TRIPLE
+    # [src||dst||neg_dst] and the net reuses src's per-row channels for
+    # both pairs (triple=True) — exact, not approximate
+    triple_expand: bool = True
     sample_strategy: str = "recent"  # full-history truncation is recency-based
     # mesh axis name for Ulysses sequence sharding of the joint patch-token
     # attention (PreLNTransformerEncoder.seq_axis). None = unsharded. Use
@@ -349,5 +374,8 @@ class DyGFormer:
     def init_state(self, tables: FeatureTables):
         return None
 
-    def apply(self, params, tables, inputs, *, state=None, train=False, rngs=None):
-        return self.module.apply(params, tables, inputs, train=train, rngs=rngs)
+    def apply(self, params, tables, inputs, *, state=None, train=False,
+              rngs=None, triple=False):
+        return self.module.apply(
+            params, tables, inputs, train=train, triple=triple, rngs=rngs
+        )

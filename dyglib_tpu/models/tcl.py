@@ -51,7 +51,8 @@ class TCLNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, tables: FeatureTables, inputs: TCLInputs, *, train: bool = False
+        self, tables: FeatureTables, inputs: TCLInputs, *,
+        train: bool = False, triple: bool = False,
     ) -> jnp.ndarray:
         d = tables.node_dim
         time_enc = TimeEncoder(self.time_feat_dim, name="time_encoder")
@@ -71,14 +72,24 @@ class TCLNet(nn.Module):
         masks = inputs.seq_ids != 0  # target position is always valid
 
         m = feats.shape[0]
-        b = m // 4
-        # pair up: left = [src, neg_src], right = [dst, neg_dst]
-        left_idx = jnp.concatenate(
-            [jnp.arange(b), jnp.arange(2 * b, 3 * b)]
-        )
-        right_idx = jnp.concatenate(
-            [jnp.arange(b, 2 * b), jnp.arange(3 * b, 4 * b)]
-        )
+        if triple:
+            # training triple [src||dst||neg_dst] (neg_src = src and
+            # 'recent' sampling is deterministic): src's per-row features
+            # were computed once above and feed BOTH pairs — exact
+            b = m // 3
+            left_idx = jnp.concatenate([jnp.arange(b), jnp.arange(b)])
+            right_idx = jnp.concatenate(
+                [jnp.arange(b, 2 * b), jnp.arange(2 * b, 3 * b)]
+            )
+        else:
+            # pair up: left = [src, neg_src], right = [dst, neg_dst]
+            b = m // 4
+            left_idx = jnp.concatenate(
+                [jnp.arange(b), jnp.arange(2 * b, 3 * b)]
+            )
+            right_idx = jnp.concatenate(
+                [jnp.arange(b, 2 * b), jnp.arange(3 * b, 4 * b)]
+            )
         lf, rf = feats[left_idx], feats[right_idx]
         lm, rm = masks[left_idx], masks[right_idx]
 
@@ -113,6 +124,7 @@ class TCL:
     sample_strategy: str = "recent"
     has_state: bool = False
     pair_independent: bool = False  # src<->dst cross-attention is pair-aware
+    triple_expand: bool = True  # see DyGFormer.triple_expand (exact reuse)
 
     def __post_init__(self):
         self.module = TCLNet(
@@ -148,5 +160,8 @@ class TCL:
     def init_state(self, tables: FeatureTables):
         return None
 
-    def apply(self, params, tables, inputs, *, state=None, train=False, rngs=None):
-        return self.module.apply(params, tables, inputs, train=train, rngs=rngs)
+    def apply(self, params, tables, inputs, *, state=None, train=False,
+              rngs=None, triple=False):
+        return self.module.apply(
+            params, tables, inputs, train=train, triple=triple, rngs=rngs
+        )

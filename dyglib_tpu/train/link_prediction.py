@@ -246,7 +246,15 @@ class LinkPredictionTrainer:
         src, dst, neg_src, neg_dst, ts, eid, valid = batch
         b = src.shape[0]
         dedup = train and getattr(self.backbone, "pair_independent", False)
-        if dedup:
+        # pair-AWARE backbones with deterministic sampling (DyGFormer, TCL)
+        # also train on the triple: the net reuses src's per-row channels
+        # for both pairs and returns quad-order embeddings (triple=True —
+        # exact under the reference's neg_src = src contract)
+        triple_aware = (
+            train and not dedup
+            and getattr(self.backbone, "triple_expand", False)
+        )
+        if dedup or triple_aware:
             ids = jnp.concatenate([src, dst, neg_dst])
             tsx = jnp.tile(ts, 3)
         else:
@@ -281,16 +289,17 @@ class LinkPredictionTrainer:
             else:
                 new_state = state
         else:
+            kw = {"triple": True} if triple_aware else {}
             embs = self.backbone.apply(
                 params["backbone"], tables, inputs,
-                state=state, train=train, rngs=rngs,
+                state=state, train=train, rngs=rngs, **kw,
             )
             raw4 = embs
             new_state = state
         if dedup:  # [s, d, nd] -> [s, d, s, nd]
             embs4 = jnp.concatenate([embs[: 2 * b], embs[:b], embs[2 * b :]])
         else:
-            embs4 = embs
+            embs4 = embs  # triple_aware nets already return quad order
         s_e, d_e, ns_e, nd_e = jnp.split(embs4, 4, axis=0)
 
         pos_logit = self.head.apply(params["head"], s_e, d_e)[..., 0]

@@ -67,6 +67,9 @@ VARIANTS = {
     # "when does it pay" note in BASELINE.md
     "dyg_canparl": lambda: DyGFormer(max_input_sequence_length=2048,
                                      patch_size=64, num_layers=2),
+    "dyg_canparl_bf16": lambda: DyGFormer(max_input_sequence_length=2048,
+                                          patch_size=64, num_layers=2,
+                                          compute_dtype="bfloat16"),
     "dyg_bf16": lambda: DyGFormer(max_input_sequence_length=32, patch_size=1,
                                   num_layers=2, compute_dtype="bfloat16"),
     "tcl_full": lambda: TCL(num_neighbors=20, num_layers=2),

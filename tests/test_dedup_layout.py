@@ -87,9 +87,12 @@ def test_triple_forward_equals_quad(name, link_data, tmp_path):
     arrays = trainer._batch_arrays(b, b.src, trainer._pad_negs(neg_dst, b))
     key = jax.random.PRNGKey(42)
 
-    if not getattr(backbone, "pair_independent", False):
-        # pair-aware: the contract is that dedup NEVER activates
-        assert name in ("TCL", "CAWN", "DyGFormer")
+    if not getattr(backbone, "pair_independent", False) and not getattr(
+        backbone, "triple_expand", False
+    ):
+        # pair-aware + stochastic sampling (CAWN): the contract is that
+        # neither reduced path ever activates
+        assert name == "CAWN"
         return
 
     loss_t, (pos_t, neg_t), _, _ = trainer._forward(
@@ -97,14 +100,20 @@ def test_triple_forward_equals_quad(name, link_data, tmp_path):
         state, False
     )
     # force the quad path on the same batch/key (neg_src = src)
+    was_pi = getattr(backbone, "pair_independent", False)
+    was_te = getattr(backbone, "triple_expand", False)
     backbone.pair_independent = False
+    if was_te:
+        backbone.triple_expand = False
     try:
         loss_q, (pos_q, neg_q), _, _ = trainer._forward(
             params, trainer.train_csr, trainer.tables, arrays, key, True,
             state, False
         )
     finally:
-        backbone.pair_independent = True
+        backbone.pair_independent = was_pi
+        if was_te:
+            backbone.triple_expand = True
 
     np.testing.assert_allclose(float(loss_t), float(loss_q), atol=1e-5)
     np.testing.assert_allclose(np.asarray(pos_t), np.asarray(pos_q), atol=1e-5)
