@@ -81,17 +81,25 @@ class NodeClassificationTrainer:
     def _src_embeddings(self, csr, tables, batch, key, state):
         """Frozen-backbone source embeddings (+ state transition).
 
-        Pair-aware backbones (TCL/CAWN/DyGFormer) need the quad row layout
-        [src||dst||src||dst]; pair-independent ones embed only the rows
-        actually consumed — src alone when stateless, src+dst when the
-        memory commit needs both.
+        Pair-aware backbones need a paired row layout: the triple
+        [src||dst||dst] for deterministic-sampling nets (triple_expand —
+        the duplicate pair costs nothing since per-row channels are shared;
+        25% fewer rows than the quad), else the quad [src||dst||src||dst]
+        (CAWN). Pair-independent ones embed only the rows actually
+        consumed — src alone when stateless, src+dst when the memory
+        commit needs both.
         """
         src, dst, ts, eid, valid = batch
+        triple = False
         if getattr(self.backbone, "pair_independent", False):
             reps = 2 if self.has_state else 1
+        elif getattr(self.backbone, "triple_expand", False):
+            reps, triple = 3, True
         else:
             reps = 4
-        ids = jnp.concatenate([src, dst, src, dst][:reps])
+        ids = jnp.concatenate(
+            ([src, dst, dst] if triple else [src, dst, src, dst])[:reps]
+        )
         tsx = jnp.tile(ts, reps)
         inputs = self.backbone.sample(csr, ids, tsx, key)
         if self.has_state:
@@ -108,9 +116,10 @@ class NodeClassificationTrainer:
                 edges_are_positive=True, train=False, rngs=None,
             )
         else:
+            kw = {"triple": True} if triple else {}
             embs4 = self.backbone.apply(
                 self.backbone_params, tables, inputs, state=state,
-                train=False, rngs=None,
+                train=False, rngs=None, **kw,
             )
             new_state = state
         b = src.shape[0]

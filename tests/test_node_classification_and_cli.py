@@ -213,3 +213,48 @@ def test_node_cls_scan_mode_matches_loop(link_data, tmp_path):
         r_loop["test metrics"]["roc_auc"], r_scan["test metrics"]["roc_auc"],
         atol=2e-3,
     )
+
+
+def test_node_cls_pair_aware_triple_matches_quad(link_data, tmp_path):
+    """Pair-aware node-cls embeddings: the triple [src||dst||dst] layout
+    (triple_expand) equals the quad [src||dst||src||dst] exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from dyglib_tpu.data.datasets import NodeClassificationData
+    from dyglib_tpu.graph import build_temporal_csr
+    from dyglib_tpu.models import DyGFormer
+    from dyglib_tpu.models.base import FeatureTables
+    from dyglib_tpu.train import TrainConfig
+    from dyglib_tpu.train.node_classification import NodeClassificationTrainer
+
+    d = link_data
+    nc_data = NodeClassificationData(
+        node_raw_features=d.node_raw_features,
+        edge_raw_features=d.edge_raw_features,
+        full=d.full, train=d.train, val=d.val, test=d.test,
+    )
+    bk = DyGFormer(max_input_sequence_length=16, patch_size=2, num_layers=1,
+                   dropout=0.0)
+    csr = build_temporal_csr(d.train, num_nodes=d.num_nodes)
+    tables = FeatureTables(
+        node=jnp.asarray(d.node_raw_features),
+        edge=jnp.asarray(d.edge_raw_features),
+    )
+    params = bk.init(jax.random.PRNGKey(0), tables, csr)
+    cfg = TrainConfig(batch_size=64, num_epochs=1, sequence_buckets=False)
+    tr = NodeClassificationTrainer(
+        bk, nc_data, cfg, str(tmp_path / "nc3.pkl"), params
+    )
+    from dyglib_tpu.data.batching import chronological_batches
+
+    b = next(chronological_batches(d.train, 64))
+    arrays = tr._batch_arrays(b)
+    key = jax.random.PRNGKey(7)
+    e3, _ = tr._src_embeddings(tr.full_csr, tr.tables, arrays, key, None)
+    bk.triple_expand = False
+    try:
+        e4, _ = tr._src_embeddings(tr.full_csr, tr.tables, arrays, key, None)
+    finally:
+        bk.triple_expand = True
+    np.testing.assert_allclose(np.asarray(e3), np.asarray(e4), atol=1e-5)
