@@ -45,6 +45,7 @@ from ..graph.csr import TemporalCSR
 from ..graph.sampler import window_bounds
 from ..nn.modules import (
     LN_EPS,
+    RawLinearParams,
     TimeEncoder,
     TorchLinear,
     xavier_uniform_init,
@@ -154,6 +155,11 @@ class DyGFormerNet(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32  # computation dtype (params stay f32)
     seq_axis: str | None = None  # Ulysses sequence sharding (see encoder)
+    # fused time-channel kernel (ops/pallas/time_channel.py): Phi(dt) is
+    # computed per patch slot IN VMEM and contracted immediately — the
+    # (M, L, Dt) masked time-feature tensor never exists in HBM. Same
+    # param tree as the plain path (proj_time/{kernel,bias}).
+    use_time_kernel: bool = False
 
     @nn.compact
     def __call__(
@@ -206,17 +212,30 @@ class DyGFormerNet(nn.Module):
         edge_feat = tables.edge[inputs.seq_eids]
         time_enc = TimeEncoder(self.time_feat_dim, name="time_encoder")
         dt = (inputs.query_ts[:, None] - inputs.seq_ts).astype(jnp.float32)
-        time_feat = jnp.where(valid[..., None], time_enc(dt), 0.0)
 
         # ---- patching + channel projections
         def patches(x):
             return x.reshape(x.shape[0], p, self.patch_size * x.shape[-1])
 
         proj = lambda name: TorchLinear(ced, dtype=self.dtype, name=name)
+        if self.use_time_kernel:
+            from ..ops.pallas.time_channel import time_channel_projection
+
+            tw, tb = time_enc.weights()
+            wt, bt = RawLinearParams(
+                self.patch_size * self.time_feat_dim, ced, name="proj_time"
+            )()
+            time_ch = time_channel_projection(
+                dt, valid.astype(jnp.float32), tw.reshape(-1), tb, wt, bt,
+                self.patch_size,
+            )
+        else:
+            time_feat = jnp.where(valid[..., None], time_enc(dt), 0.0)
+            time_ch = proj("proj_time")(patches(time_feat).astype(self.dtype))
         row_ch = [
             proj("proj_node")(patches(node_feat).astype(self.dtype)),
             proj("proj_edge")(patches(edge_feat).astype(self.dtype)),
-            proj("proj_time")(patches(time_feat).astype(self.dtype)),
+            time_ch,
         ]  # each (M, P, ced)
         co_proj = proj("proj_co_occurrence")
         co_pl = co_proj(patches(co_l).astype(self.dtype))  # (2B, P, ced)
@@ -272,6 +291,11 @@ class DyGFormer:
     # with a mesh whose named axis divides num_heads AND the joint token
     # count 2 * seq_len / patch_size (CanParl 2048/64: 64 joint tokens).
     sequence_axis: str | None = None
+    # fused time-channel Pallas kernel (see DyGFormerNet.use_time_kernel).
+    # "auto" resolves by MEASURED verdict: ON for patch_size >= 16 (the
+    # long-sequence operating points where XLA's materialized time channel
+    # dominates), OFF at small patches (see BASELINE.md round 3)
+    use_time_kernel: bool | str = "auto"
 
     @property
     def seq_len(self) -> int:
@@ -301,7 +325,10 @@ class DyGFormer:
         return tuple(out)
 
     def __post_init__(self):
-        self.module = DyGFormerNet(
+        tk = self.use_time_kernel
+        if tk == "auto":
+            tk = self.patch_size >= 16  # measured verdict (BASELINE.md r3)
+        kwargs = dict(
             time_feat_dim=self.time_feat_dim,
             channel_embedding_dim=self.channel_embedding_dim,
             patch_size=self.patch_size,
@@ -311,6 +338,11 @@ class DyGFormer:
             dtype=jnp.dtype(self.compute_dtype),
             seq_axis=self.sequence_axis,
         )
+        self.module = DyGFormerNet(use_time_kernel=bool(tk), **kwargs)
+        # init runs on the CPU backend where the kernel runs interpreted
+        # (slow at big shapes); the plain module has an IDENTICAL param
+        # tree by construction (RawLinearParams mirrors TorchLinear)
+        self._init_module = DyGFormerNet(use_time_kernel=False, **kwargs)
 
     def sample(
         self,
@@ -369,7 +401,7 @@ class DyGFormer:
         ids = jnp.zeros((8,), jnp.int32)
         ts = jnp.zeros((8,), jnp.int32)
         inputs = self.sample(csr, ids, ts, jax.random.PRNGKey(0))
-        return self.module.init(key, tables, inputs)
+        return self._init_module.init(key, tables, inputs)
 
     def init_state(self, tables: FeatureTables):
         return None

@@ -223,6 +223,24 @@ class MLPClassifier(nn.Module):
         return TorchLinear(1, name="fc3")(x)
 
 
+class RawLinearParams(nn.Module):
+    """TorchLinear's (kernel, bias) parameters WITHOUT applying them —
+    for fused kernels that consume raw weights. Same param tree and init
+    as TorchLinear({name}) so the two paths share checkpoints."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        bound = float(self.in_dim) ** -0.5
+        kernel = self.param(
+            "kernel", uniform_init(bound), (self.in_dim, self.out_dim)
+        )
+        bias = self.param("bias", uniform_init(bound), (self.out_dim,))
+        return kernel, bias
+
+
 class _RawKernel(nn.Module):
     """A bare (in_dim, out_dim) kernel parameter with nn.Dense's param path
     ({name}/kernel) and init — lets the fused-attention path consume raw

@@ -1,0 +1,222 @@
+"""Pallas TPU kernel: fused time-channel patch projection for DyGFormer.
+
+Target: the per-entry TIME channel at long operating points. XLA's
+lowering of
+
+    time_feat = where(valid, cos(dt[..., None] * w + b), 0)   # (M, L, Dt)
+    out       = patches(time_feat) @ W + bias                 # (M, P, ced)
+
+materializes the full (M, L, Dt) masked feature tensor in HBM (matmul
+operands are not fusion targets on TPU XLA). At the CanParl operating
+point (M=800 rows, L=2048, Dt=100) that is ~655 MB written + re-read per
+direction — the per-op trace attributes ~20 ms/step to this channel
+(select_n 7.2 + mul 3.5 + proj_time fwd+bwd 9.3) for ~33 GF of actual
+matmul work.
+
+This kernel computes Phi(dt) on-chip per patch slot and contracts it
+immediately: HBM traffic drops to reading dt/valid (M*L f32) and writing
+the (M, P, ced) output. The slot loop runs 64 small (BLK_P, Dt) x
+(Dt, ced) matmuls rather than one (BLK_P, patch*Dt) matmul — building
+the concatenated layout in VMEM would need lane-offset scatter stores at
+Dt(=100)-stride, which Mosaic lowers poorly; the small-matmul loop keeps
+every operand naturally tiled.
+
+Backward recomputes Phi per slot (flash-style): dW_j += Phi_j^T dout,
+d(tw)/d(tb) accumulate through -sin, no cotangent for dt (time keys are
+integers; the reference's time encoder gets gradients only through
+w and b here — dt itself is data).
+
+MEASURED VERDICT (B=200, fused 32-step scan, same hour, triple-expand
+trainer) — the kernel tier's FIRST measured win:
+
+    | DyGFormer operating point        | XLA path | this kernel |     |
+    |----------------------------------|----------|-------------|-----|
+    | CanParl (maxlen 2048, patch 64)  | 51.88 ms | 46.29 ms    |1.12x|
+    | lastfm  (maxlen 512, patch 16)   | 17.63 ms | 16.71 ms    |1.06x|
+
+(BLK 512 fwd / 128 bwd; 256/16 and 1024/64 measured worse or VMEM-OOM —
+the unrolled slot loop's temporaries live on the VMEM stack.) "auto"
+resolves ON at patch_size >= 16. At patch 1 (wikipedia/reddit maxlen 32)
+the slot loop degenerates to one matmul per entry and the XLA path's
+materialization is small — auto stays OFF. This wins where the four
+earlier kernels lost because the target op is MATERIALIZATION-bound
+(TPU XLA does not fuse elementwise producers into dot operands), not
+matmul-codegen-bound.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .window_attention import _round_up
+
+BLK_P = int(os.environ.get("TC_BLK", "512"))  # patch rows per program
+# backward holds per-slot temporaries for every UNROLLED slot iteration on
+# the VMEM stack; 256-row blocks measured 26.2M scoped (> 16M limit) at
+# patch=64
+BLK_P_BWD = int(os.environ.get("TC_BLK_BWD", "128"))
+
+
+def _fwd_kernel(dt_ref, valid_ref, tw_ref, tb_ref, w_ref, bias_ref, out_ref,
+                *, patch):
+    dt_dim = tw_ref.shape[-1]
+    acc = jnp.broadcast_to(bias_ref[:], (out_ref.shape[0], out_ref.shape[1]))
+    for j in range(patch):
+        phi = jnp.cos(dt_ref[:, j : j + 1] * tw_ref[:] + tb_ref[:])
+        phi = phi * valid_ref[:, j : j + 1]
+        acc = acc + jnp.dot(
+            phi.astype(jnp.bfloat16),
+            w_ref[j * dt_dim : (j + 1) * dt_dim, :].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] = acc
+
+
+def _bwd_kernel(dt_ref, valid_ref, tw_ref, tb_ref, w_ref, dout_ref,
+                dw_ref, dtw_ref, dtb_ref, dbias_ref, *, patch):
+    dt_dim = tw_ref.shape[-1]
+    tw, tb = tw_ref[:], tb_ref[:]
+    g = dout_ref[:]
+    gb = g.astype(jnp.bfloat16)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dtw_ref[:] = jnp.zeros_like(dtw_ref)
+        dtb_ref[:] = jnp.zeros_like(dtb_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    dtw_acc = jnp.zeros((1, dt_dim), jnp.float32)
+    dtb_acc = jnp.zeros((1, dt_dim), jnp.float32)
+    for j in range(patch):
+        dt_col = dt_ref[:, j : j + 1]
+        v_col = valid_ref[:, j : j + 1]
+        theta = dt_col * tw + tb
+        phi = jnp.cos(theta) * v_col
+        w_j = w_ref[j * dt_dim : (j + 1) * dt_dim, :]
+        dw_ref[j * dt_dim : (j + 1) * dt_dim, :] += jnp.dot(
+            phi.astype(jnp.bfloat16).T, gb, preferred_element_type=jnp.float32
+        )
+        dphi = jnp.dot(gb, w_j.astype(jnp.bfloat16).T,
+                       preferred_element_type=jnp.float32)
+        common = dphi * (-jnp.sin(theta)) * v_col
+        dtw_acc = dtw_acc + (common * dt_col).sum(0, keepdims=True)
+        dtb_acc = dtb_acc + common.sum(0, keepdims=True)
+    dtw_ref[:] += dtw_acc
+    dtb_ref[:] += dtb_acc
+    dbias_ref[:] += g.sum(0, keepdims=True)
+
+
+def _pad_rows(x, n):
+    pad = n - x.shape[0]
+    return x if pad == 0 else jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def time_channel_projection(dt, valid, tw, tb, w, bias, patch):
+    """Fused masked-Phi patch projection.
+
+    dt (M, L) f32 = t_query - t_entry; valid (M, L) f32 (pads 0); tw/tb
+    (Dt,) TimeEncoder params; w (patch*Dt, ced) the proj_time kernel;
+    bias (ced,). Returns (M, L//patch, ced) == patches(where(valid,
+    Phi(dt), 0)) @ w + bias with identical bf16 matmul math.
+    """
+    return _fwd_impl(dt, valid, tw, tb, w, bias, patch)
+
+
+def _fwd_impl(dt, valid, tw, tb, w, bias, patch):
+    m, l = dt.shape
+    p = l // patch
+    ced = w.shape[-1]
+    rows = m * p
+    rows_pad = _round_up(max(rows, BLK_P), BLK_P)
+    args = (
+        _pad_rows(dt.reshape(rows, patch), rows_pad),
+        _pad_rows(valid.reshape(rows, patch), rows_pad),
+        tw.reshape(1, -1), tb.reshape(1, -1), w, bias.reshape(1, -1),
+    )
+    row = lambda d: pl.BlockSpec((BLK_P, d), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    dt_dim = tw.shape[-1]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, patch=patch),
+        grid=(rows_pad // BLK_P,),
+        in_specs=[
+            row(patch), row(patch),
+            full((1, dt_dim)), full((1, dt_dim)),
+            full((patch * dt_dim, ced)), full((1, ced)),
+        ],
+        out_specs=row(ced),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, ced), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    return out[:rows].reshape(m, p, ced)
+
+
+def _fwd(dt, valid, tw, tb, w, bias, patch):
+    return _fwd_impl(dt, valid, tw, tb, w, bias, patch), (dt, valid, tw, tb, w)
+
+
+def _bwd(patch, res, dout):
+    dt, valid, tw, tb, w = res
+    m, l = dt.shape
+    p = l // patch
+    ced = w.shape[-1]
+    rows = m * p
+    rows_pad = _round_up(max(rows, BLK_P_BWD), BLK_P_BWD)
+    dt_dim = tw.shape[-1]
+    args = (
+        _pad_rows(dt.reshape(rows, patch), rows_pad),
+        _pad_rows(valid.reshape(rows, patch), rows_pad),
+        tw.reshape(1, -1), tb.reshape(1, -1), w,
+        _pad_rows(dout.reshape(rows, ced), rows_pad),
+    )
+    row = lambda d: pl.BlockSpec((BLK_P_BWD, d), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    dw, dtw, dtb, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, patch=patch),
+        grid=(rows_pad // BLK_P_BWD,),
+        in_specs=[
+            row(patch), row(patch),
+            full((1, dt_dim)), full((1, dt_dim)),
+            full((patch * dt_dim, ced)), row(ced),
+        ],
+        out_specs=(
+            full((patch * dt_dim, ced)),
+            full((1, dt_dim)), full((1, dt_dim)), full((1, ced)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((patch * dt_dim, ced), jnp.float32),
+            jax.ShapeDtypeStruct((1, dt_dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, dt_dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, ced), jnp.float32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    return (
+        jnp.zeros_like(dt), jnp.zeros_like(valid),
+        dtw.reshape(-1), dtb.reshape(-1), dw, dbias.reshape(-1),
+    )
+
+
+time_channel_projection.defvjp(_fwd, _bwd)
+
+
+def time_channel_projection_reference(dt, valid, tw, tb, w, bias, patch):
+    """Pure-XLA oracle with identical bf16 matmul math (parity tests)."""
+    m, l = dt.shape
+    p = l // patch
+    phi = jnp.cos(dt[..., None] * tw + tb) * valid[..., None]
+    x = phi.reshape(m * p, patch * tw.shape[-1])
+    out = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) + bias
+    return out.reshape(m, p, -1)

@@ -70,6 +70,21 @@ VARIANTS = {
     "dyg_canparl_bf16": lambda: DyGFormer(max_input_sequence_length=2048,
                                           patch_size=64, num_layers=2,
                                           compute_dtype="bfloat16"),
+    "dyg_canparl_tk": lambda: DyGFormer(max_input_sequence_length=2048,
+                                        patch_size=64, num_layers=2,
+                                        use_time_kernel=True),
+    "dyg_canparl_notk": lambda: DyGFormer(max_input_sequence_length=2048,
+                                          patch_size=64, num_layers=2,
+                                          use_time_kernel=False),
+    "dyg_full_tk": lambda: DyGFormer(max_input_sequence_length=32,
+                                     patch_size=1, num_layers=2,
+                                     use_time_kernel=True),
+    "dyg_lastfm_tk": lambda: DyGFormer(max_input_sequence_length=512,
+                                       patch_size=16, num_layers=2,
+                                       use_time_kernel=True),
+    "dyg_lastfm_notk": lambda: DyGFormer(max_input_sequence_length=512,
+                                         patch_size=16, num_layers=2,
+                                         use_time_kernel=False),
     "dyg_bf16": lambda: DyGFormer(max_input_sequence_length=32, patch_size=1,
                                   num_layers=2, compute_dtype="bfloat16"),
     "tcl_full": lambda: TCL(num_neighbors=20, num_layers=2),
