@@ -108,3 +108,18 @@ def test_dygformer_time_kernel_matches_plain(setup):
             np.asarray(v) / scale, np.asarray(ref) / scale, atol=2e-2,
             err_msg=jax.tree_util.keystr(k),
         )
+
+
+def test_dygformer_auto_kernel_with_buckets_trains(link_data, tmp_path):
+    """auto-ON operating point (patch>=16) + sequence buckets: one fit()
+    through the trainer — guards the kernel's static-shape handling across
+    bucket specializations."""
+    from dyglib_tpu.train import LinkPredictionTrainer, TrainConfig
+
+    bk = DyGFormer(max_input_sequence_length=32, patch_size=16, num_layers=1)
+    assert bk.module.use_time_kernel  # auto resolved ON
+    cfg = TrainConfig(batch_size=200, num_epochs=1, learning_rate=1e-3)
+    tr = LinkPredictionTrainer(bk, link_data, cfg, str(tmp_path / "tk.pkl"))
+    res = tr.fit(seed=0, log=lambda *a: None)
+    ap = res["test metrics"]["average_precision"]
+    assert np.isfinite(ap) and 0.0 < ap <= 1.0
