@@ -102,6 +102,12 @@ def main(which: str = "all"):
         "TCL": lambda: TCL(num_neighbors=20, num_layers=2),
         "TGAT": lambda: TGAT(num_neighbors=20, num_layers=2),
         "CAWN": lambda: CAWN(num_neighbors=32, walk_length=1, num_walk_heads=8),
+        # the reference's longest-sequence best config (CanParl 2048/64) —
+        # showcases the long-context path (triple-expand + fused
+        # time-channel kernel, BASELINE.md round 3)
+        "DyGFormer_CanParl": lambda: DyGFormer(
+            max_input_sequence_length=2048, patch_size=64, num_layers=2
+        ),
     }
     flagship = "DyGFormer"
     if which not in ("all", ""):
