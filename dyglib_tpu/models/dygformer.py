@@ -292,9 +292,9 @@ class DyGFormer:
     # count 2 * seq_len / patch_size (CanParl 2048/64: 64 joint tokens).
     sequence_axis: str | None = None
     # fused time-channel Pallas kernel (see DyGFormerNet.use_time_kernel).
-    # "auto" resolves by MEASURED verdict: ON for patch_size >= 16 (the
-    # long-sequence operating points where XLA's materialized time channel
-    # dominates), OFF at small patches (see BASELINE.md round 3)
+    # "auto" resolves ON at every operating point — MEASURED: CanParl
+    # (2048/64) 1.12x, lastfm (512/16) 1.06x, wikipedia (32/1) ~1.04x
+    # (8.40-8.61 vs 8.74-8.87 ms/step back-to-back; BASELINE.md round 3)
     use_time_kernel: bool | str = "auto"
 
     @property
@@ -327,7 +327,7 @@ class DyGFormer:
     def __post_init__(self):
         tk = self.use_time_kernel
         if tk == "auto":
-            tk = self.patch_size >= 16  # measured verdict (BASELINE.md r3)
+            tk = True  # measured win at every operating point (BASELINE.md r3)
         kwargs = dict(
             time_feat_dim=self.time_feat_dim,
             channel_embedding_dim=self.channel_embedding_dim,

@@ -35,10 +35,10 @@ trainer) — the kernel tier's FIRST measured win:
     | lastfm  (maxlen 512, patch 16)   | 17.63 ms | 16.71 ms    |1.06x|
 
 (BLK 512 fwd / 128 bwd; 256/16 and 1024/64 measured worse or VMEM-OOM —
-the unrolled slot loop's temporaries live on the VMEM stack.) "auto"
-resolves ON at patch_size >= 16. At patch 1 (wikipedia/reddit maxlen 32)
-the slot loop degenerates to one matmul per entry and the XLA path's
-materialization is small — auto stays OFF. This wins where the four
+the unrolled slot loop's temporaries live on the VMEM stack.) Follow-up
+measurement: even at patch 1 (wikipedia/reddit maxlen 32) the kernel wins
+~4% (8.40/8.54/8.61 vs 8.74/8.87 ms/step back-to-back), so "auto"
+resolves ON everywhere. This wins where the four
 earlier kernels lost because the target op is MATERIALIZATION-bound
 (TPU XLA does not fuse elementwise producers into dot operands), not
 matmul-codegen-bound.
