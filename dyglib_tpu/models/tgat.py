@@ -72,6 +72,10 @@ class TGATNet(nn.Module):
     use_pallas: bool = False  # fused attention kernel (same params/math)
     use_window_kernel: bool = False  # fused gather+attention at layer 1
     use_gathered_kernel: bool = False  # post-gather fused attention at l=1
+    # fused Phi(dt) @ W_phi K/V contribution (ops/pallas/phi_projection.py):
+    # the (M*K, Dt) time-feature tensor and the kv concatenate never exist
+    # in HBM; applies at every layer of the plain path
+    use_phi_fusion: bool = False
 
     @nn.compact
     def __call__(
@@ -151,15 +155,22 @@ class TGATNet(nn.Module):
                     )
                 else:
                     kv_feat = feats[h + 1].reshape(m, kk, -1)
-                    phi_dt = time_enc(dt)  # (m, kk, Dt)
                     if inputs.hop_edge_feat is not None:
                         edge_feat = inputs.hop_edge_feat[h].reshape(m, kk, -1)
                     else:
                         edge_feat = tables.edge[inputs.hop_eids[h].reshape(m, kk)]
-                    out, _ = convs[l - 1](
-                        q_feat, phi_0, kv_feat, phi_dt, edge_feat, mask,
-                        train=train,
-                    )
+                    if self.use_phi_fusion:
+                        out, _ = convs[l - 1](
+                            q_feat, phi_0, kv_feat, None, edge_feat, mask,
+                            train=train,
+                            time_fused=(dt, time_enc.weights()),
+                        )
+                    else:
+                        phi_dt = time_enc(dt)  # (m, kk, Dt)
+                        out, _ = convs[l - 1](
+                            q_feat, phi_0, kv_feat, phi_dt, edge_feat, mask,
+                            train=train,
+                        )
                 out = merges[l - 1](out, base_feats[h])
                 new_feats.append(out)
             feats = new_feats
@@ -194,6 +205,9 @@ class TGAT:
     # MEASURED 17.92 ms/step (best config) vs 13.01 for the XLA path at the
     # TGAT operating point — see the kernel's MEASURED VERDICT
     use_gathered_attention: bool | str = "auto"
+    # fused Phi(dt) @ W_phi K/V contribution (ops/pallas/phi_projection.py)
+    # — "auto" resolves by measured verdict in the kernel header
+    use_phi_fusion: bool | str = "auto"
     has_state: bool = False
     # ask the trainer for an entry-ordered feature table on the CSR
     # (csr.feat_entry). Default OFF — MEASURED at the shipped operating
@@ -221,6 +235,12 @@ class TGAT:
         if ga == "auto":
             ga = False  # measured loss vs XLA (kernel's MEASURED VERDICT)
         self._gathered_kernel = bool(ga) and not self._window_kernel
+        pf = self.use_phi_fusion
+        if pf == "auto":
+            pf = False  # measured 2.7x LOSS (phi_projection.py verdict)
+        self._phi_fusion = (
+            bool(pf) and not self._window_kernel and not self._gathered_kernel
+        )
         kwargs = dict(
             time_feat_dim=self.time_feat_dim,
             num_layers=self.num_layers,
@@ -231,6 +251,7 @@ class TGAT:
         self.module = TGATNet(
             use_pallas=bool(fused), use_window_kernel=self._window_kernel,
             use_gathered_kernel=self._gathered_kernel,
+            use_phi_fusion=self._phi_fusion,
             **kwargs,
         )
         # param init runs on the CPU backend (remote-compile workaround),

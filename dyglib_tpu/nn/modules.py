@@ -293,6 +293,7 @@ class TemporalMultiHeadAttention(nn.Module):
         train: bool = False,
         window: tuple | None = None,
         gathered: tuple | None = None,
+        time_fused: tuple | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         query_dim = node_features.shape[-1] + node_time_features.shape[-1]
         assert query_dim % self.num_heads == 0
@@ -386,6 +387,54 @@ class TemporalMultiHeadAttention(nn.Module):
             return out, None
 
         b, k = neighbor_node_features.shape[:2]
+        if time_fused is not None:
+            # fused Phi path (ops/pallas/phi_projection.py): a kv row is
+            # [feat || Phi(dt)], so key = feat @ Wk[:Df] + Phi(dt) @ Wk[Df:]
+            # — the (B*K, Dt) time-feature tensor and the concatenate
+            # never exist in HBM. Same param tree (the RAW (Dkv, Dq)
+            # kernels are sliced, not split).
+            from ..ops.pallas.phi_projection import phi_projection
+
+            dt, (tw, tb) = time_fused
+            kv_feat = jnp.concatenate(
+                [neighbor_node_features, neighbor_edge_features], axis=-1
+            )  # (B, K, Df)
+            d_feat = kv_feat.shape[-1]
+            dt_dim = tw.shape[-1]
+            kv_dim = d_feat + dt_dim
+            wk = _RawKernel(kv_dim, query_dim, name="key_projection")()
+            wv = _RawKernel(kv_dim, query_dim, name="value_projection")()
+            feat_flat = kv_feat.reshape(b * k, d_feat).astype(self.dtype)
+            dt_flat = dt.reshape(-1)
+            twf, tbf = tw.reshape(-1), tb.reshape(-1)
+            key = (
+                (feat_flat @ wk[:d_feat].astype(self.dtype)).astype(jnp.float32)
+                + phi_projection(dt_flat, twf, tbf, wk[d_feat:])
+            ).reshape(b, k, query_dim).astype(self.dtype)
+            val = (
+                (feat_flat @ wv[:d_feat].astype(self.dtype)).astype(jnp.float32)
+                + phi_projection(dt_flat, twf, tbf, wv[d_feat:])
+            ).reshape(b, k, query_dim).astype(self.dtype)
+
+            q = q.reshape(b, self.num_heads, 1, head_dim)
+            key = key.reshape(b, k, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            val = val.reshape(b, k, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            attn = jnp.einsum("bhld,bhnd->bhln", q, key).astype(jnp.float32) * (
+                head_dim**-0.5
+            )
+            attn = jnp.where(neighbor_mask[:, None, None, :], attn, -1e10)
+            scores = nn.softmax(attn, axis=-1)
+            scores = nn.Dropout(self.dropout, deterministic=not train)(scores)
+            out = jnp.einsum("bhln,bhnd->bhld", scores.astype(self.dtype), val)
+            out = out.transpose(0, 2, 1, 3).reshape(b, query_dim)
+            out = nn.Dropout(self.dropout, deterministic=not train)(
+                TorchLinear(query_dim, dtype=self.dtype, name="residual_fc")(out)
+            )
+            out = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(
+                (out + residual).astype(jnp.float32)
+            )
+            return out, scores[:, :, 0, :].astype(jnp.float32)
+
         kv = jnp.concatenate(
             [neighbor_node_features, neighbor_edge_features, neighbor_time_features],
             axis=-1,

@@ -51,6 +51,10 @@ VARIANTS = {
     "tgat_noentry": lambda: TGAT(num_neighbors=20, num_layers=2,
                                  use_window_attention=False,
                                  wants_entry_features=False),
+    "tgat_phifuse": lambda: TGAT(num_neighbors=20, num_layers=2,
+                                 use_window_attention=False,
+                                 wants_entry_features=False,
+                                 use_phi_fusion=True),
     "tgat_bf16": lambda: TGAT(num_neighbors=20, num_layers=2,
                               compute_dtype="bfloat16"),
     "tgat_l1": lambda: TGAT(num_neighbors=20, num_layers=1),
