@@ -77,8 +77,8 @@ from .window_attention import _core, _heads_split, _mid_slice, _round_up
 
 import os
 
-BLK = int(os.environ.get("GA_BLK", "32"))  # query rows per program
-BLK_BWD = int(os.environ.get("GA_BLK_BWD", "16"))
+BLK = int(os.environ.get("GA_BLK", "64"))  # query rows per program
+BLK_BWD = int(os.environ.get("GA_BLK_BWD", "32"))  # best measured config
 
 
 def _fwd_kernel(q_ref, featn_ref, feate_ref, dt_ref, mask_ref, keep_ref,
