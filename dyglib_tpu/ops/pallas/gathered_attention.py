@@ -57,12 +57,11 @@ lane-misaligned head_dim=136 slices forcing relayouts). Kept as a
 verified, parity-tested alternative (tests/test_gathered_attention.py);
 TGAT's use_gathered_attention="auto" resolves OFF.
 
-Kernel-tier scoreboard after four attempts (temporal_attention,
-cooccurrence, window-DMA, post-gather): XLA's fused schedule remains
-the fastest path at every shipped operating point. The framework's
-measured wins all came from restructuring the computation (packed
-gathers, tree-factored CAWN, prefix-sum GraphMixer, triple-forward) —
-not from hand-written kernels.
+Kernel-tier scoreboard: the four MATMUL-ADJACENT attempts
+(temporal_attention, cooccurrence, window-DMA, post-gather) all lose to
+XLA's fused schedule; the MATERIALIZATION-bound time-channel kernel
+(ops/pallas/time_channel.py) is the tier's measured win. The boundary
+between the two classes is the tier's core finding — see BASELINE.md.
 """
 from __future__ import annotations
 
