@@ -21,6 +21,17 @@ MODEL_NAMES = [
 ]
 
 
+def _validate_dataset_name(args) -> None:
+    """Reference constrains --dataset_name to the 14 published names
+    (load_configs.py:14-15). With a custom --data_root (our extension for
+    user-supplied processed datasets) any name is accepted."""
+    if args.data_root == "./processed_data" and args.dataset_name not in DATASET_NAMES:
+        raise SystemExit(
+            f"unknown --dataset_name {args.dataset_name!r}; expected one of "
+            f"{DATASET_NAMES} (or pass --data_root for a custom dataset)"
+        )
+
+
 def _common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch_size", type=int, default=200)
     parser.add_argument("--num_neighbors", type=int, default=20)
@@ -96,6 +107,11 @@ def _common_args(parser: argparse.ArgumentParser) -> None:
         help="MXU compute dtype for backbones that support it",
     )
     parser.add_argument(
+        "--show_progress", action="store_true", default=False,
+        help="live per-batch train-loss line (reference tqdm bar equivalent; "
+        "not available with --scan_epochs)",
+    )
+    parser.add_argument(
         "--fast_prng", action="store_true", default=False,
         help="hardware RBG PRNG for dropout masks (deterministic per seed; "
         "~37%% faster train steps at the DyGFormer operating point)",
@@ -127,6 +143,7 @@ def get_link_prediction_args(
     )
     args = parser.parse_args(argv)
 
+    _validate_dataset_name(args)
     if args.model_name == "EdgeBank":
         assert is_evaluation, "EdgeBank is only applicable for evaluation!"
     if args.load_best_configs:
@@ -145,6 +162,7 @@ def get_node_classification_args(
     )
     _common_args(parser)
     args = parser.parse_args(argv)
+    _validate_dataset_name(args)
     if args.load_best_configs:
         load_node_classification_best_configs(args)
     return args

@@ -83,11 +83,26 @@ class PreLNTransformerEncoder(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     seq_axis: str | None = None
+    # tanh-approximate GELU: the exact-erf GELU's polynomial evaluation,
+    # fused by XLA into the FFN dots, costs 2.1x on the whole FFN fwd+bwd
+    # at the flagship operating point (926 vs 444 us/step measured on v5e,
+    # (25600, 200)x(200, 800) FFN); the tanh form is the standard
+    # GPT-2/BERT approximation (<=3e-3 abs activation difference,
+    # end-metric neutral). Reference math (nn.GELU() exact erf,
+    # DyGFormer.py:445) is kept for parity tests via False.
+    gelu_approximate: bool = False
+    # 128-lane-aligned attention heads (math-exact; see
+    # TorchLinear.out_group_pad): head_dim d/num_heads = 100 is
+    # lane-misaligned, making every (b,t,H,hd)<->(b,t,d) reshape a lane
+    # repack. Padded q/k/v project into zero-padded 128-wide head slots;
+    # out_proj absorbs the padding with zero kernel rows.
+    pad_heads: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.attention_dim
         hd = d // self.num_heads
+        hdp = ((hd + 127) // 128) * 128 if self.pad_heads else hd
         b, t, _ = x.shape
         if self.seq_axis is not None and not self.is_initializing():
             # no-op during init: param init runs on the single-device CPU
@@ -103,16 +118,18 @@ class PreLNTransformerEncoder(nn.Module):
         sa = self.seq_axis
         # torch nn.MultiheadAttention init: xavier-uniform in_proj with
         # zero bias, default-Linear out_proj kernel with zero bias
+        ogp = (self.num_heads, hd, hdp) if hdp != hd else None
         attn_proj = lambda name: TorchLinear(
             d, dtype=self.dtype, name=name,
             kernel_init_override=xavier_uniform_init, zero_bias=True,
+            out_group_pad=ogp,
         )
         dense = lambda dd, name: TorchLinear(dd, dtype=self.dtype, name=name)
         x = shard(x, (None, sa, None))  # token-sharded residual stream
         h = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x).astype(self.dtype)
-        q = attn_proj("q_proj")(h).reshape(b, t, self.num_heads, hd)
-        k = attn_proj("k_proj")(h).reshape(b, t, self.num_heads, hd)
-        v = attn_proj("v_proj")(h).reshape(b, t, self.num_heads, hd)
+        q = attn_proj("q_proj")(h).reshape(b, t, self.num_heads, hdp)
+        k = attn_proj("k_proj")(h).reshape(b, t, self.num_heads, hdp)
+        v = attn_proj("v_proj")(h).reshape(b, t, self.num_heads, hdp)
         # Ulysses layout flip: tokens -> heads (XLA emits an all_to_all)
         q = shard(q, (None, None, sa, None))
         k = shard(k, (None, None, sa, None))
@@ -128,9 +145,12 @@ class PreLNTransformerEncoder(nn.Module):
             "bhqk,bkhd->bqhd", scores.astype(self.dtype), v
         )
         # flip back: heads -> tokens (second all_to_all)
-        hidden = shard(hidden, (None, sa, None, None)).reshape(b, t, d)
+        hidden = shard(hidden, (None, sa, None, None)).reshape(
+            b, t, self.num_heads * hdp
+        )
         hidden = TorchLinear(
-            d, dtype=self.dtype, name="out_proj", zero_bias=True
+            d, dtype=self.dtype, name="out_proj", zero_bias=True,
+            in_group_pad=(self.num_heads, hd, hdp) if hdp != hd else None,
         )(hidden)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(
             hidden.astype(jnp.float32)
@@ -138,7 +158,7 @@ class PreLNTransformerEncoder(nn.Module):
         h = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x).astype(self.dtype)
         h = dense(4 * d, "ffn1")(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(
-            nn.gelu(h, approximate=False)
+            nn.gelu(h, approximate=self.gelu_approximate)
         )
         h = dense(d, "ffn2")(h)
         return x + nn.Dropout(self.dropout, deterministic=not train)(
@@ -155,6 +175,13 @@ class DyGFormerNet(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32  # computation dtype (params stay f32)
     seq_axis: str | None = None  # Ulysses sequence sharding (see encoder)
+    gelu_approximate: bool = False  # see PreLNTransformerEncoder
+    pad_heads: bool = False  # see PreLNTransformerEncoder
+    # rematerialize each transformer layer in backward: the flagship step
+    # is HBM-bound on the (M, 4d) f32 FFN activations (trace: FFN dots at
+    # the ~819 GB/s roofline, 27-66 TF/s) — recomputing them costs idle
+    # MXU cycles and saves the fwd-write + bwd-read round trip
+    remat: bool = False
     # fused time-channel kernel (ops/pallas/time_channel.py): Phi(dt) is
     # computed per patch slot IN VMEM and contracted immediately — the
     # (M, L, Dt) masked time-feature tensor never exists in HBM. Same
@@ -251,11 +278,24 @@ class DyGFormerNet(nn.Module):
 
         # ---- joint src||dst attention per pair
         joint = jnp.concatenate([xl, xr], axis=1).astype(jnp.float32)
+        enc_cls = PreLNTransformerEncoder
+        if self.remat:
+            # inner fn args: (module, x, train) -> train is static index 2.
+            # dots_saveable: keep matmul outputs, recompute elementwise
+            # (GELU/dropout/LN) in backward — the saved HBM round trips are
+            # the activation tensors, not the dot outputs
+            enc_cls = nn.remat(
+                PreLNTransformerEncoder, static_argnums=(2,),
+                policy=jax.checkpoint_policies.dots_saveable,
+            )
         for i in range(self.num_layers):
-            joint = PreLNTransformerEncoder(
+            joint = enc_cls(
                 4 * ced, self.num_heads, self.dropout, dtype=self.dtype,
-                seq_axis=self.seq_axis, name=f"transformer_{i}",
-            )(joint, train=train)
+                seq_axis=self.seq_axis,
+                gelu_approximate=self.gelu_approximate,
+                pad_heads=self.pad_heads,
+                name=f"transformer_{i}",
+            )(joint, train)
         out_l = joint[:, :p, :].mean(axis=1)
         out_r = joint[:, p:, :].mean(axis=1)
         output = TorchLinear(tables.node_dim, name="output_layer")
@@ -296,6 +336,16 @@ class DyGFormer:
     # (2048/64) 1.12x, lastfm (512/16) 1.06x, wikipedia (32/1) ~1.04x
     # (8.40-8.61 vs 8.74-8.87 ms/step back-to-back; BASELINE.md round 3)
     use_time_kernel: bool | str = "auto"
+    # per-layer transformer remat (see DyGFormerNet.remat)
+    remat: bool = False
+    # 128-lane-aligned attention heads (see PreLNTransformerEncoder)
+    pad_heads: bool = False
+    # tanh-approximate GELU in the local transformer FFN (see
+    # PreLNTransformerEncoder.gelu_approximate): "auto" resolves ON on the
+    # TPU backend (measured 2.1x on the FFN fwd+bwd; <=3e-3 activation
+    # delta, DyGFormer calibration band unchanged), OFF elsewhere so CPU
+    # parity tests exercise the reference's exact-erf math.
+    gelu_approximate: bool | str = "auto"
 
     @property
     def seq_len(self) -> int:
@@ -327,7 +377,18 @@ class DyGFormer:
     def __post_init__(self):
         tk = self.use_time_kernel
         if tk == "auto":
-            tk = True  # measured win at every operating point (BASELINE.md r3)
+            # measured win at every TPU operating point (BASELINE.md r3);
+            # on other backends the Pallas kernel runs in interpret mode
+            # (slow, bf16 matmul math) — resolve OFF there. Explicit
+            # use_time_kernel=True stays available for parity testing.
+            import jax
+
+            tk = jax.default_backend() == "tpu"
+        ga = self.gelu_approximate
+        if ga == "auto":
+            import jax
+
+            ga = jax.default_backend() == "tpu"
         kwargs = dict(
             time_feat_dim=self.time_feat_dim,
             channel_embedding_dim=self.channel_embedding_dim,
@@ -337,6 +398,9 @@ class DyGFormer:
             dropout=self.dropout,
             dtype=jnp.dtype(self.compute_dtype),
             seq_axis=self.sequence_axis,
+            gelu_approximate=bool(ga),
+            remat=self.remat,
+            pad_heads=self.pad_heads,
         )
         self.module = DyGFormerNet(use_time_kernel=bool(tk), **kwargs)
         # init runs on the CPU backend where the kernel runs interpreted

@@ -60,13 +60,44 @@ class TorchLinear(nn.Module):
     dtype: jnp.dtype | None = None
     kernel_init_override: object = None
     zero_bias: bool = False
+    # Lane-alignment padding (math-exact, param tree UNCHANGED): TPU lanes
+    # are 128-wide, so reshaping a (.., H*hd) projection into (.., H, hd)
+    # with hd % 128 != 0 is a lane repack XLA materializes as a copy.
+    # ``out_group_pad=(g, gw, pw)`` treats the declared ``features = g*gw``
+    # output as g groups of gw and zero-pads each to pw columns AT APPLY
+    # TIME (the padded kernel is built from the unpadded param by a tiny
+    # pad op), so output is (.., g*pw) and the (.., g, pw) reshape is
+    # tile-aligned. ``in_group_pad=(g, gw, pw)`` accepts a group-padded
+    # (.., g*pw) input by inserting matching zero ROWS into the declared
+    # (g*gw, features) kernel. Padded entries are exactly zero in forward
+    # and receive no gradient (they're built by pad, not parameters).
+    out_group_pad: tuple[int, int, int] | None = None
+    in_group_pad: tuple[int, int, int] | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        fan_in = x.shape[-1]
+        if self.in_group_pad is not None:
+            g, gw, pw = self.in_group_pad
+            assert x.shape[-1] == g * pw, (x.shape, self.in_group_pad)
+            fan_in = g * gw
+        else:
+            fan_in = x.shape[-1]
         bound = float(fan_in) ** -0.5
         kinit = self.kernel_init_override or uniform_init(bound)
         kernel = self.param("kernel", kinit, (fan_in, self.features))
+        if self.in_group_pad is not None:
+            g, gw, pw = self.in_group_pad
+            kernel = jnp.pad(
+                kernel.reshape(g, gw, self.features),
+                ((0, 0), (0, pw - gw), (0, 0)),
+            ).reshape(g * pw, self.features)
+        if self.out_group_pad is not None:
+            g, gw, pw = self.out_group_pad
+            assert self.features == g * gw, (self.features, self.out_group_pad)
+            kernel = jnp.pad(
+                kernel.reshape(kernel.shape[0], g, gw),
+                ((0, 0), (0, 0), (0, pw - gw)),
+            ).reshape(kernel.shape[0], g * pw)
         dtype = self.dtype or x.dtype
         y = x.astype(dtype) @ kernel.astype(dtype)
         if self.use_bias:
@@ -74,6 +105,11 @@ class TorchLinear(nn.Module):
                 nn.initializers.zeros if self.zero_bias else uniform_init(bound)
             )
             bias = self.param("bias", binit, (self.features,))
+            if self.out_group_pad is not None:
+                g, gw, pw = self.out_group_pad
+                bias = jnp.pad(
+                    bias.reshape(g, gw), ((0, 0), (0, pw - gw))
+                ).reshape(g * pw)
             y = y + bias.astype(dtype)
         return y
 

@@ -65,6 +65,7 @@ def train_config_from_args(args) -> TrainConfig:
         scan_epochs=getattr(args, "scan_epochs", False),
         sequence_buckets=not getattr(args, "no_sequence_buckets", False),
         check_memory_order=getattr(args, "check_memory_order", False),
+        show_progress=getattr(args, "show_progress", False),
     )
 
 

@@ -6,10 +6,11 @@ evaluate_models_utils.py:19-154 of the reference.
 Choreography preserved:
   * chronological batches, shuffle never (train_link_prediction.py:57-61);
   * train negatives: only destinations resampled, neg_src = src
-    (train_link_prediction.py:164-166); eval negatives: (neg_src, neg_dst)
-    both drawn from the split's seeded sampler, with batch time-range
-    plumbed through for historical/inductive strategies
-    (evaluate_models_utils.py:55-66);
+    (train_link_prediction.py:164-166); eval negatives under the default
+    random strategy likewise score (src, neg_dst) — the sampler's neg_src
+    draw is discarded (evaluate_models_utils.py:61-63); historical/
+    inductive strategies use the sampled (neg_src, neg_dst) pair with the
+    batch time-range plumbed through (evaluate_models_utils.py:55-60);
   * loss = mean BCE over [positives || negatives]
     (train_link_prediction.py:243-249) — computed on logits here, same math;
   * metrics per batch, averaged across batches (train:302-309);
@@ -35,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 import time
 
 import jax
@@ -84,6 +86,10 @@ class TrainConfig:
     # at MemoryModel.py:448-449). Costs a device->host state read per
     # check, so off by default.
     check_memory_order: bool = False
+    # live per-batch progress line on stderr (the reference's tqdm bar with
+    # running loss, train_link_prediction.py:158; cosmetic, off by default —
+    # unavailable in scan mode where the epoch is one fused program)
+    show_progress: bool = False
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -250,9 +256,14 @@ class LinkPredictionTrainer:
         # also train on the triple: the net reuses src's per-row channels
         # for both pairs and returns quad-order embeddings (triple=True —
         # exact under the reference's neg_src = src contract)
+        # triple exactness requires (a) stateless backbone (a stateful one
+        # would feed a 3B-row triple into embed_quad's state commit) and
+        # (b) deterministic 'recent' sampling (neg_src rows bit-identical
+        # to src presupposes identical neighbor draws)
         triple_aware = (
-            train and not dedup
+            train and not dedup and not self.has_state
             and getattr(self.backbone, "triple_expand", False)
+            and getattr(self.backbone, "sample_strategy", "recent") == "recent"
         )
         if dedup or triple_aware:
             ids = jnp.concatenate([src, dst, neg_dst])
@@ -652,6 +663,12 @@ class LinkPredictionTrainer:
             self._check_order(order_snap, state, f"epoch {epoch} batch {i}")
             losses.append(float(loss))
             metrics.append(self._batch_metrics(probs, b))
+            if self.cfg.show_progress:
+                print(
+                    f"\rEpoch: {epoch + 1}, train for the {i + 1}-th batch, "
+                    f"train loss: {losses[-1]:.4f}",
+                    end="", file=sys.stderr, flush=True,
+                )
             if (
                 self.resume_every
                 and (i + 1) % self.resume_every == 0
@@ -670,6 +687,8 @@ class LinkPredictionTrainer:
                         if self._early else 0,
                     },
                 )
+        if self.cfg.show_progress and losses:
+            print(file=sys.stderr)  # finish the \r progress line
         return params, opt_state, state, losses, metrics
 
     def train_epoch_scanned(self, params, opt_state, state, epoch: int, root_key):
@@ -745,7 +764,12 @@ class LinkPredictionTrainer:
                     current_batch_end_time=b.batch_end_time,
                 )
             else:
+                # Reference protocol (evaluate_models_utils.py:61-63): for the
+                # random strategy the sampled neg_src is DISCARDED and the
+                # negative edge is scored as (src, neg_dst). The draw still
+                # happens so seeded sampler streams stay aligned.
                 neg_src, neg_dst = neg_sampler.sample(n)
+                neg_src = b.src[:n]
             ns, nd = self._pad_negs(neg_src, b), self._pad_negs(neg_dst, b)
             metas.append(b)
             arrays_list.append(self._batch_arrays(b, ns, nd))
@@ -801,6 +825,16 @@ class LinkPredictionTrainer:
         failure-recovery story the reference lacks (SURVEY §5).
         """
         params, opt_state = self.init_params(seed)
+        # parameter-size report (train_link_prediction.py:130-131: count * 4
+        # bytes — the reference counts f32 params; ours are f32 too)
+        n_params = sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params)
+        )
+        log(
+            f"model name: {type(self.backbone).__name__}, "
+            f"#parameters: {n_params * 4} B, {n_params * 4 / 1024} KB, "
+            f"{n_params * 4 / 1024 / 1024} MB."
+        )
         root_key = jax.random.PRNGKey(seed)
         early = EarlyStopping(
             self.cfg.patience, self.save_path,

@@ -107,8 +107,10 @@ class NodeClassificationTrainer:
 
             # [src || dst] 2-segment layout: explicit roles for JODIE's
             # per-role time-shift normalization (MemoryModel.py:111-124)
+            # roles must track the ACTUAL row layout (triple = [src||dst||dst])
+            layout = ("src", "dst", "dst") if triple else ("src", "dst", "src", "dst")
             inputs = inputs._replace(
-                roles=segment_roles(src.shape[0], ("src", "dst", "src", "dst")[:reps])
+                roles=segment_roles(src.shape[0], layout[:reps])
             )
             embs4, new_state = self.backbone.forward_and_maybe_commit(
                 self.backbone_params, tables, state, inputs,
@@ -234,6 +236,9 @@ class NodeClassificationTrainer:
     def _stacked_batches(self, stream: EdgeStream, key):
         """(stacked batch arrays, stacked labels, keys, valid counts)."""
         batches = list(chronological_batches(stream, self.cfg.batch_size))
+        assert all(
+            len(b.src) == self.cfg.batch_size for b in batches
+        ), "scan path needs uniform (padded) batches; got a ragged batch"
         arrays = [self._batch_arrays(b) for b in batches]
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *arrays
@@ -278,6 +283,18 @@ class NodeClassificationTrainer:
 
     def fit(self, seed: int = 0, log=print) -> dict:
         head_params, opt_state = self.init_params(seed)
+        # parameter-size report (train_node_classification.py logs the same
+        # count*4-bytes accounting as the link-pred driver :130-131)
+        n_params = sum(
+            int(np.prod(p.shape))
+            for tree in (self.backbone_params, head_params)
+            for p in jax.tree_util.tree_leaves(tree)
+        )
+        log(
+            f"model name: {type(self.backbone).__name__}+MLPClassifier, "
+            f"#parameters: {n_params * 4} B, {n_params * 4 / 1024} KB, "
+            f"{n_params * 4 / 1024 / 1024} MB."
+        )
         root_key = jax.random.PRNGKey(seed)
         early = EarlyStopping(self.cfg.patience, self.save_path)
 

@@ -189,7 +189,10 @@ def run_reference(model, cfg, epochs, lr, d, seed):
                 e = min(s + B, len(stream.src))
                 src, dst, ts = stream.src[s:e], stream.dst[s:e], stream.ts[s:e]
                 eid = stream.eid[s:e]
-                nsrc, ndst = neg.sample(e - s)
+                # reference random-strategy protocol: discard sampled neg_src,
+                # score (src, neg_dst) (evaluate_models_utils.py:61-63)
+                _, ndst = neg.sample(e - s)
+                nsrc = src
                 if is_memory:
                     nse, nde = embed(nsrc, ndst, ts, None, False)
                     se, de = embed(src, dst, ts, eid, True)

@@ -116,8 +116,13 @@ def test_dygformer_auto_kernel_with_buckets_trains(link_data, tmp_path):
     bucket specializations."""
     from dyglib_tpu.train import LinkPredictionTrainer, TrainConfig
 
-    bk = DyGFormer(max_input_sequence_length=32, patch_size=16, num_layers=1)
-    assert bk.module.use_time_kernel  # auto resolved ON
+    # "auto" resolves OFF on the CPU test backend (the kernel would run
+    # interpreted); force it ON to exercise the static-shape handling
+    bk = DyGFormer(
+        max_input_sequence_length=32, patch_size=16, num_layers=1,
+        use_time_kernel=True,
+    )
+    assert bk.module.use_time_kernel
     cfg = TrainConfig(batch_size=200, num_epochs=1, learning_rate=1e-3)
     tr = LinkPredictionTrainer(bk, link_data, cfg, str(tmp_path / "tk.pkl"))
     res = tr.fit(seed=0, log=lambda *a: None)
