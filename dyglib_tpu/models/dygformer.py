@@ -48,6 +48,7 @@ from ..nn.modules import (
     RawLinearParams,
     TimeEncoder,
     TorchLinear,
+    uniform_init,
     xavier_uniform_init,
 )
 from .base import FeatureTables
@@ -166,6 +167,50 @@ class PreLNTransformerEncoder(nn.Module):
         )
 
 
+class _Patched:
+    """Apply ``mod`` on the patch-flattened view of the input."""
+
+    def __init__(self, mod, patches):
+        self.mod, self.patches = mod, patches
+
+    def __call__(self, x):
+        return self.mod(self.patches(x))
+
+
+class PatchProjection(nn.Module):
+    """Channel projection with the patch flatten folded INTO the dot.
+
+    ``TorchLinear(ced)(patches(x))`` first materializes the
+    (M, P, patch*D) repack — at CanParl (patch 64, D 172) an 11008-lane
+    relayout costing ~7 ms/step in fwd+bwd reshapes (trace, BASELINE.md
+    round 4). The same math is a free sublane split (M, Lp, D) ->
+    (M, P, patch, D) followed by a dot_general contracting (patch, D)
+    against the kernel viewed (patch, D, ced) — no repack exists.
+    Param tree and init are IDENTICAL to TorchLinear(ced) on the
+    flattened input (kernel (patch*D, ced) row-major over (patch, D))."""
+
+    features: int
+    patch_size: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        m, lp, dfeat = x.shape
+        k = self.patch_size
+        p = lp // k
+        fan_in = k * dfeat
+        bound = float(fan_in) ** -0.5
+        kernel = self.param("kernel", uniform_init(bound), (fan_in, self.features))
+        bias = self.param("bias", uniform_init(bound), (self.features,))
+        dt = self.dtype or x.dtype
+        y = jax.lax.dot_general(
+            x.reshape(m, p, k, dfeat).astype(dt),
+            kernel.reshape(k, dfeat, self.features).astype(dt),
+            (((2, 3), (0, 1)), ((), ())),
+        )
+        return y + bias.astype(dt)
+
+
 class DyGFormerNet(nn.Module):
     time_feat_dim: int = 100
     channel_embedding_dim: int = 50
@@ -177,6 +222,7 @@ class DyGFormerNet(nn.Module):
     seq_axis: str | None = None  # Ulysses sequence sharding (see encoder)
     gelu_approximate: bool = False  # see PreLNTransformerEncoder
     pad_heads: bool = False  # see PreLNTransformerEncoder
+    fold_patch_proj: bool = False  # see PatchProjection
     # rematerialize each transformer layer in backward: the flagship step
     # is HBM-bound on the (M, 4d) f32 FFN activations (trace: FFN dots at
     # the ~819 GB/s roofline, 27-66 TF/s) — recomputing them costs idle
@@ -241,10 +287,20 @@ class DyGFormerNet(nn.Module):
         dt = (inputs.query_ts[:, None] - inputs.seq_ts).astype(jnp.float32)
 
         # ---- patching + channel projections
-        def patches(x):
-            return x.reshape(x.shape[0], p, self.patch_size * x.shape[-1])
-
-        proj = lambda name: TorchLinear(ced, dtype=self.dtype, name=name)
+        cast = lambda x: x.astype(self.dtype)
+        if self.patch_size == 1 or not self.fold_patch_proj:
+            # patch flatten materialized (no-op at patch 1)
+            patches = lambda x: x.reshape(
+                x.shape[0], p, self.patch_size * x.shape[-1]
+            )
+            chan_mod = lambda name: _Patched(
+                TorchLinear(ced, dtype=self.dtype, name=name), patches
+            )
+        else:
+            # fold the patch flatten into the dot (no (M,P,patch*D) repack)
+            chan_mod = lambda name: PatchProjection(
+                ced, self.patch_size, dtype=self.dtype, name=name
+            )
         if self.use_time_kernel:
             from ..ops.pallas.time_channel import time_channel_projection
 
@@ -258,15 +314,15 @@ class DyGFormerNet(nn.Module):
             )
         else:
             time_feat = jnp.where(valid[..., None], time_enc(dt), 0.0)
-            time_ch = proj("proj_time")(patches(time_feat).astype(self.dtype))
+            time_ch = chan_mod("proj_time")(cast(time_feat))
         row_ch = [
-            proj("proj_node")(patches(node_feat).astype(self.dtype)),
-            proj("proj_edge")(patches(edge_feat).astype(self.dtype)),
+            chan_mod("proj_node")(cast(node_feat)),
+            chan_mod("proj_edge")(cast(edge_feat)),
             time_ch,
         ]  # each (M, P, ced)
-        co_proj = proj("proj_co_occurrence")
-        co_pl = co_proj(patches(co_l).astype(self.dtype))  # (2B, P, ced)
-        co_pr = co_proj(patches(co_r).astype(self.dtype))
+        co_mod = chan_mod("proj_co_occurrence")
+        co_pl = co_mod(cast(co_l))  # (2B, P, ced)
+        co_pr = co_mod(cast(co_r))
 
         # assemble pair-space token stacks directly (no quad round trip)
         xl = jnp.stack(
@@ -340,6 +396,9 @@ class DyGFormer:
     remat: bool = False
     # 128-lane-aligned attention heads (see PreLNTransformerEncoder)
     pad_heads: bool = False
+    # fold the patch flatten into the channel-projection dot (see
+    # PatchProjection; only meaningful at patch_size > 1)
+    fold_patch_proj: bool = False
     # tanh-approximate GELU in the local transformer FFN (see
     # PreLNTransformerEncoder.gelu_approximate): "auto" resolves ON on the
     # TPU backend (measured 2.1x on the FFN fwd+bwd; <=3e-3 activation
@@ -401,6 +460,7 @@ class DyGFormer:
             gelu_approximate=bool(ga),
             remat=self.remat,
             pad_heads=self.pad_heads,
+            fold_patch_proj=self.fold_patch_proj,
         )
         self.module = DyGFormerNet(use_time_kernel=bool(tk), **kwargs)
         # init runs on the CPU backend where the kernel runs interpreted

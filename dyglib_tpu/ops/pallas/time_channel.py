@@ -56,6 +56,18 @@ from jax.experimental.pallas import tpu as pltpu
 from .window_attention import _round_up
 
 BLK_P = int(os.environ.get("TC_BLK", "512"))  # patch rows per program
+# slot batching (round 4): pad Dt (100) to 128 lanes so SLOT consecutive
+# patch slots' Phi blocks concatenate lane-ALIGNED in VMEM, turning SLOT
+# small K=100 matmuls into one K=SLOT*128 matmul (the original header's
+# "lane-offset scatter at Dt-stride" objection only applies to the
+# unpadded 100-lane layout). Zero-padded tw/tb rows make Phi pads cos(0)=1
+# but the matching w_pad rows are zero, so the contraction is exact.
+# MEASURED NEGATIVE at CanParl (46.8-48.2 vs 46.4 ms/step across
+# SLOT=4/8/16, TC_BLK_BWD=32/64): the kernel is VPU-bound on the cos
+# evaluation, and padding adds 28% VPU work that cancels the dot gains;
+# bwd at SLOT=8/BLK 128 also exceeds the 16M scoped-VMEM limit. Kept as a
+# parity-tested variant (TC_SLOT env); 0 = legacy per-slot loop (default).
+TC_SLOT = int(os.environ.get("TC_SLOT", "0"))
 # backward holds per-slot temporaries for every UNROLLED slot iteration on
 # the VMEM stack; 256-row blocks measured 26.2M scoped (> 16M limit) at
 # patch=64
@@ -75,6 +87,72 @@ def _fwd_kernel(dt_ref, valid_ref, tw_ref, tb_ref, w_ref, bias_ref, out_ref,
             preferred_element_type=jnp.float32,
         )
     out_ref[:] = acc
+
+
+def _fwd_kernel_slots(dt_ref, valid_ref, tw_ref, tb_ref, w_ref, bias_ref,
+                      out_ref, *, patch, slot):
+    dtp = tw_ref.shape[-1]  # 128-padded Dt
+    acc = jnp.broadcast_to(bias_ref[:], (out_ref.shape[0], out_ref.shape[1]))
+    for j0 in range(0, patch, slot):
+        phi_cat = jnp.concatenate(
+            [
+                jnp.cos(dt_ref[:, j : j + 1] * tw_ref[:] + tb_ref[:])
+                * valid_ref[:, j : j + 1]
+                for j in range(j0, j0 + slot)
+            ],
+            axis=1,
+        )  # (BLK, slot*dtp) — lane-aligned concat of 128-wide blocks
+        acc = acc + jnp.dot(
+            phi_cat.astype(jnp.bfloat16),
+            w_ref[j0 * dtp : (j0 + slot) * dtp, :].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] = acc
+
+
+def _bwd_kernel_slots(dt_ref, valid_ref, tw_ref, tb_ref, w_ref, dout_ref,
+                      dw_ref, dtw_ref, dtb_ref, dbias_ref, *, patch, slot):
+    dtp = tw_ref.shape[-1]
+    tw, tb = tw_ref[:], tb_ref[:]
+    g = dout_ref[:]
+    gb = g.astype(jnp.bfloat16)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dtw_ref[:] = jnp.zeros_like(dtw_ref)
+        dtb_ref[:] = jnp.zeros_like(dtb_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    dtw_acc = jnp.zeros((1, dtp), jnp.float32)
+    dtb_acc = jnp.zeros((1, dtp), jnp.float32)
+    for j0 in range(0, patch, slot):
+        thetas = [
+            dt_ref[:, j : j + 1] * tw + tb for j in range(j0, j0 + slot)
+        ]
+        vcols = [valid_ref[:, j : j + 1] for j in range(j0, j0 + slot)]
+        phi_cat = jnp.concatenate(
+            [jnp.cos(th) * v for th, v in zip(thetas, vcols)], axis=1
+        )
+        w_grp = w_ref[j0 * dtp : (j0 + slot) * dtp, :]
+        dw_ref[j0 * dtp : (j0 + slot) * dtp, :] += jnp.dot(
+            phi_cat.astype(jnp.bfloat16).T, gb,
+            preferred_element_type=jnp.float32,
+        )
+        dphi_cat = jnp.dot(
+            gb, w_grp.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )  # zero on pad lanes (w_grp pad rows are zero)
+        for i, j in enumerate(range(j0, j0 + slot)):
+            dphi = dphi_cat[:, i * dtp : (i + 1) * dtp]
+            common = dphi * (-jnp.sin(thetas[i])) * vcols[i]
+            dtw_acc = dtw_acc + (common * dt_ref[:, j : j + 1]).sum(
+                0, keepdims=True
+            )
+            dtb_acc = dtb_acc + common.sum(0, keepdims=True)
+    dtw_ref[:] += dtw_acc
+    dtb_ref[:] += dtb_acc
+    dbias_ref[:] += g.sum(0, keepdims=True)
 
 
 def _bwd_kernel(dt_ref, valid_ref, tw_ref, tb_ref, w_ref, dout_ref,
@@ -129,29 +207,56 @@ def time_channel_projection(dt, valid, tw, tb, w, bias, patch):
     return _fwd_impl(dt, valid, tw, tb, w, bias, patch)
 
 
+def _slots(patch):
+    """Slot-group size for the lane-aligned batched kernels (0 = legacy)."""
+    return TC_SLOT if TC_SLOT > 1 and patch % TC_SLOT == 0 else 0
+
+
+def _pad_params(tw, tb, w, patch):
+    """Zero-pad Dt to a 128 multiple: (1, dtp) tw/tb and (patch*dtp, ced)
+    w with zero rows at the pad lanes (exactness: Phi pads hit zero
+    kernel rows)."""
+    dt_dim = tw.shape[-1]
+    dtp = _round_up(dt_dim, 128)
+    pad = dtp - dt_dim
+    twp = jnp.pad(tw.reshape(1, -1), ((0, 0), (0, pad)))
+    tbp = jnp.pad(tb.reshape(1, -1), ((0, 0), (0, pad)))
+    wp = jnp.pad(
+        w.reshape(patch, dt_dim, -1), ((0, 0), (0, pad), (0, 0))
+    ).reshape(patch * dtp, -1)
+    return twp, tbp, wp, dtp
+
+
 def _fwd_impl(dt, valid, tw, tb, w, bias, patch):
     m, l = dt.shape
     p = l // patch
     ced = w.shape[-1]
     rows = m * p
     rows_pad = _round_up(max(rows, BLK_P), BLK_P)
+    slot = _slots(patch)
+    dt_dim = tw.shape[-1]
+    if slot:
+        twp, tbp, wp, dtp = _pad_params(tw, tb, w, patch)
+        kern = functools.partial(_fwd_kernel_slots, patch=patch, slot=slot)
+    else:
+        twp, tbp, wp, dtp = tw.reshape(1, -1), tb.reshape(1, -1), w, dt_dim
+        kern = functools.partial(_fwd_kernel, patch=patch)
     args = (
         _pad_rows(dt.reshape(rows, patch), rows_pad),
         _pad_rows(valid.reshape(rows, patch), rows_pad),
-        tw.reshape(1, -1), tb.reshape(1, -1), w, bias.reshape(1, -1),
+        twp, tbp, wp, bias.reshape(1, -1),
     )
     row = lambda d: pl.BlockSpec((BLK_P, d), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
-    dt_dim = tw.shape[-1]
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, patch=patch),
+        kern,
         grid=(rows_pad // BLK_P,),
         in_specs=[
             row(patch), row(patch),
-            full((1, dt_dim)), full((1, dt_dim)),
-            full((patch * dt_dim, ced)), full((1, ced)),
+            full((1, dtp)), full((1, dtp)),
+            full((patch * dtp, ced)), full((1, ced)),
         ],
         out_specs=row(ced),
         out_shape=jax.ShapeDtypeStruct((rows_pad, ced), jnp.float32),
@@ -172,10 +277,17 @@ def _bwd(patch, res, dout):
     rows = m * p
     rows_pad = _round_up(max(rows, BLK_P_BWD), BLK_P_BWD)
     dt_dim = tw.shape[-1]
+    slot = _slots(patch)
+    if slot:
+        twp, tbp, wp, dtp = _pad_params(tw, tb, w, patch)
+        kern = functools.partial(_bwd_kernel_slots, patch=patch, slot=slot)
+    else:
+        twp, tbp, wp, dtp = tw.reshape(1, -1), tb.reshape(1, -1), w, dt_dim
+        kern = functools.partial(_bwd_kernel, patch=patch)
     args = (
         _pad_rows(dt.reshape(rows, patch), rows_pad),
         _pad_rows(valid.reshape(rows, patch), rows_pad),
-        tw.reshape(1, -1), tb.reshape(1, -1), w,
+        twp, tbp, wp,
         _pad_rows(dout.reshape(rows, ced), rows_pad),
     )
     row = lambda d: pl.BlockSpec((BLK_P_BWD, d), lambda i: (i, 0),
@@ -183,25 +295,30 @@ def _bwd(patch, res, dout):
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     dw, dtw, dtb, dbias = pl.pallas_call(
-        functools.partial(_bwd_kernel, patch=patch),
+        kern,
         grid=(rows_pad // BLK_P_BWD,),
         in_specs=[
             row(patch), row(patch),
-            full((1, dt_dim)), full((1, dt_dim)),
-            full((patch * dt_dim, ced)), row(ced),
+            full((1, dtp)), full((1, dtp)),
+            full((patch * dtp, ced)), row(ced),
         ],
         out_specs=(
-            full((patch * dt_dim, ced)),
-            full((1, dt_dim)), full((1, dt_dim)), full((1, ced)),
+            full((patch * dtp, ced)),
+            full((1, dtp)), full((1, dtp)), full((1, ced)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((patch * dt_dim, ced), jnp.float32),
-            jax.ShapeDtypeStruct((1, dt_dim), jnp.float32),
-            jax.ShapeDtypeStruct((1, dt_dim), jnp.float32),
+            jax.ShapeDtypeStruct((patch * dtp, ced), jnp.float32),
+            jax.ShapeDtypeStruct((1, dtp), jnp.float32),
+            jax.ShapeDtypeStruct((1, dtp), jnp.float32),
             jax.ShapeDtypeStruct((1, ced), jnp.float32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(*args)
+    if slot:
+        dw = dw.reshape(patch, dtp, ced)[:, :dt_dim, :].reshape(
+            patch * dt_dim, ced
+        )
+        dtw, dtb = dtw[:, :dt_dim], dtb[:, :dt_dim]
     return (
         jnp.zeros_like(dt), jnp.zeros_like(valid),
         dtw.reshape(-1), dtb.reshape(-1), dw, dbias.reshape(-1),

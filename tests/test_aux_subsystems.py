@@ -4,6 +4,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from dyglib_tpu.train.checkpoints import load_checkpoint, save_checkpoint
 from dyglib_tpu.utils.tensorboard import (
@@ -33,6 +34,7 @@ def test_summary_writer_roundtrip(tmp_path):
     np.testing.assert_allclose(scalars["val/auc"], 0.8, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_emits_tensorboard(link_data, tmp_path):
     from dyglib_tpu.models import GraphMixer
     from dyglib_tpu.train import LinkPredictionTrainer, TrainConfig

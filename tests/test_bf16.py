@@ -1,4 +1,5 @@
 """bfloat16 compute-dtype path: finite, close to f32, trainable."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +8,7 @@ from dyglib_tpu.models import DyGFormer, TGAT
 from dyglib_tpu.train import LinkPredictionTrainer, TrainConfig
 
 
+@pytest.mark.slow
 def test_dygformer_bf16_close_to_f32(link_data, tmp_path):
     cfgs = {}
     for dtype in ("float32", "bfloat16"):

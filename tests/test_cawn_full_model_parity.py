@@ -25,9 +25,12 @@ import pytest
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference checkout not available"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REF), reason="reference checkout not available"
+    ),
+    pytest.mark.slow,  # heavyweight tier (see pytest.ini)
+]
 if os.path.isdir(REF) and REF not in sys.path:
     sys.path.insert(0, REF)
 

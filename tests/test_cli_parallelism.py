@@ -55,6 +55,7 @@ def test_config_flags_threaded(synthetic_dataset):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_cli_training_on_mesh(tmp_path, synthetic_dataset):
     """End-to-end CLI training run sharded over the full 8-device mesh."""
     cwd = os.getcwd()

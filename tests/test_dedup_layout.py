@@ -70,7 +70,14 @@ def _build_backbone(name: str):
 ALL_MODELS = ["TGAT", "TGN", "DyRep", "JODIE", "GraphMixer", "TCL", "CAWN", "DyGFormer"]
 
 
-@pytest.mark.parametrize("name", ALL_MODELS)
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in ("CAWN", "TGAT")
+        else n
+        for n in ALL_MODELS
+    ],
+)
 def test_triple_forward_equals_quad(name, link_data, tmp_path):
     """Train-path dedup triple ≡ quad forward for pair-independent backbones;
     pair-aware backbones must be marked so the triple path is never taken."""

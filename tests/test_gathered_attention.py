@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier (see pytest.ini)
+
 from dyglib_tpu.graph.csr import build_temporal_csr
 from dyglib_tpu.models import FeatureTables, TGAT
 from dyglib_tpu.ops.pallas.gathered_attention import (

@@ -56,6 +56,7 @@ def test_mlp_mixer_parity():
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_graphmixer_end_to_end(link_data, tmp_path):
     backbone = GraphMixer(num_neighbors=10, num_layers=2, time_gap=200)
     cfg = TrainConfig(batch_size=200, num_epochs=3, patience=5, learning_rate=1e-3)
@@ -68,6 +69,7 @@ def test_graphmixer_end_to_end(link_data, tmp_path):
     assert ap > 0.68, f"GraphMixer test AP {ap}"
 
 
+@pytest.mark.slow
 def test_node_encoder_prefix_matches_gather(link_data):
     """The O(1) prefix-sum node encoder must reproduce the (B, time_gap, Dn)
     gather aggregation (same window, same mean) to float32 accuracy."""

@@ -185,7 +185,12 @@ def test_time_shift_stats():
     assert s.dst_mean == pytest.approx(17.5)
 
 
-@pytest.mark.parametrize("model_name", ["TGN", "JODIE", "DyRep"])
+@pytest.mark.parametrize(
+    "model_name",
+    ["TGN",
+     pytest.param("JODIE", marks=pytest.mark.slow),
+     pytest.param("DyRep", marks=pytest.mark.slow)],
+)
 def test_memory_model_end_to_end(model_name, link_data, tmp_path):
     d = link_data
     shifts = compute_src_dst_node_time_shifts(d.train.src, d.train.dst, d.train.ts)
@@ -230,6 +235,7 @@ def test_memory_order_violations_function(setup):
     ) == 0
 
 
+@pytest.mark.slow
 def test_check_memory_order_clean_run(link_data, tmp_path):
     """A chronological TGN run passes the order guard in both loop modes."""
     d = link_data

@@ -64,7 +64,15 @@ def _losses(backbone_fn, link_data, tmp_path, mesh, tag, n_batches=4):
     return losses, tr.mean_metrics(val_metrics), state
 
 
-@pytest.mark.parametrize("family", sorted(FAMILIES))
+@pytest.mark.parametrize(
+    "family",
+    [
+        # JODIE stays in the fast tier as the mesh-vs-single smoke; the
+        # other families are the same code path at 20-85s each
+        f if f == "JODIE" else pytest.param(f, marks=pytest.mark.slow)
+        for f in sorted(FAMILIES)
+    ],
+)
 def test_mesh_matches_single(family, link_data, tmp_path):
     """Every trainable family: one training epoch on the 8-device mesh
     produces the same per-batch losses as single-device execution (up to
@@ -120,6 +128,7 @@ def test_memory_state_chain_exact_under_mesh(link_data, tmp_path):
     np.testing.assert_allclose(g1, g8, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mesh_scan_epoch(link_data, tmp_path):
     """Scan-epoch mode under the mesh: batch axis (axis 1) sharded."""
     cfg = TrainConfig(batch_size=200, num_epochs=1, scan_epochs=True)

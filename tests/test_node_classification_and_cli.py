@@ -31,6 +31,7 @@ def _argv(data_root, extra):
     ] + extra
 
 
+@pytest.mark.slow
 def test_full_cli_pipeline(workdir):
     """train -> evaluate (historical negatives) -> node classification,
     through the same surfaces the reference drivers expose."""
@@ -124,6 +125,7 @@ def test_best_configs_tables():
     assert args.num_neighbors == 10 and args.num_layers == 1
 
 
+@pytest.mark.slow
 def test_node_cls_evaluation_replays_when_state_missing(workdir):
     """run_node_classification_evaluation must rebuild memory by replaying
     train+val chronologically when the head checkpoint carries no state —
@@ -169,6 +171,7 @@ def test_node_cls_evaluation_replays_when_state_missing(workdir):
         os.chdir(cwd)
 
 
+@pytest.mark.slow
 def test_node_cls_scan_mode_matches_loop(link_data, tmp_path):
     """scan_epochs node-classification == the per-batch loop (losses and
     global AUC), mirroring the link-prediction scan-mode contract."""
@@ -215,6 +218,7 @@ def test_node_cls_scan_mode_matches_loop(link_data, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_node_cls_pair_aware_triple_matches_quad(link_data, tmp_path):
     """Pair-aware node-cls embeddings: the triple [src||dst||dst] layout
     (triple_expand) equals the quad [src||dst||src||dst] exactly."""

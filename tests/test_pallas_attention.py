@@ -1,4 +1,7 @@
 """Fused Pallas temporal attention == the XLA module path (same params)."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pytest.ini)
 import jax
 import jax.numpy as jnp
 import numpy as np

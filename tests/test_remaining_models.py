@@ -21,6 +21,7 @@ def _fit(backbone, link_data, tmp_path, epochs=2, lr=1e-3):
     return trainer.fit(seed=0, log=lambda *a: None)
 
 
+@pytest.mark.slow
 def test_tcl_end_to_end(link_data, tmp_path):
     # TCL is a slow learner on this task — assert on the training signal
     # (loss must fall) plus a loose AP sanity bound. With torch-matching
@@ -58,6 +59,7 @@ def test_tcl_end_to_end(link_data, tmp_path):
     assert np.isfinite(ap) and ap > 0.53, f"TCL test AP {ap}"
 
 
+@pytest.mark.slow
 def test_dygformer_end_to_end(link_data, tmp_path):
     results = _fit(
         DyGFormer(max_input_sequence_length=32, patch_size=2, num_layers=2),
@@ -85,6 +87,7 @@ def test_dygformer_end_to_end(link_data, tmp_path):
     assert min(losses) < 0.67, f"DyGFormer train losses never left chance: {losses}"
 
 
+@pytest.mark.slow
 def test_cawn_end_to_end(link_data, tmp_path):
     # tiny walk config: CAWN's BiLSTM-over-walks is O(B * K^L) LSTM steps
     # and dominates CPU time at production sizes (true of the reference
@@ -134,6 +137,7 @@ def test_edgebank_modes(link_data):
     assert average_precision(labels, preds) > 0.55
 
 
+@pytest.mark.slow
 def test_cawn_position_counts_oracle(link_data):
     """walk_position_counts == the reference PositionEncoder's dict counting
     (CAWN.py:197-289): occurrences of each walk entry's node at hop h of
@@ -189,6 +193,7 @@ def test_cawn_position_counts_oracle(link_data):
     np.testing.assert_allclose(ours, expected, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cawn_position_counts_paths_agree(link_data):
     """Equality-reduce fast path == sorted-join fallback."""
     import jax

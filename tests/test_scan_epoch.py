@@ -1,4 +1,5 @@
 """Scan-mode epoch == per-batch loop epoch under identical negatives."""
+import pytest
 import jax
 import numpy as np
 
@@ -37,6 +38,7 @@ def test_scan_epoch_matches_loop_tgat(link_data, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_scan_epoch_memory_model(link_data, tmp_path):
     backbone = MemoryModel(model_name="TGN", num_neighbors=5, num_layers=1)
     tr = _trainer(backbone, link_data, tmp_path, "b.pkl")

@@ -6,6 +6,7 @@ independent), and the trainer must pick the smallest covering bucket —
 the static-shape analogue of the reference's per-batch dynamic padding
 (DyGFormer.py:219-226).
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +60,7 @@ def test_bucketed_forward_matches_smaller_model(link_data):
     assert s1 == s2
 
 
+@pytest.mark.slow
 def test_trainer_picks_covering_buckets(link_data, tmp_path):
     backbone = DyGFormer(max_input_sequence_length=64, patch_size=2, num_layers=1)
     cfg = TrainConfig(batch_size=100, num_epochs=1, sequence_buckets=True)

@@ -19,9 +19,12 @@ from dyglib_tpu.graph import build_temporal_csr
 from dyglib_tpu.models import DyGFormer, FeatureTables
 from dyglib_tpu.parallel.mesh import MODEL_AXIS, make_mesh
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 virtual devices"
+    ),
+    pytest.mark.slow,  # heavyweight tier (see pytest.ini)
+]
 
 
 @pytest.fixture(scope="module")

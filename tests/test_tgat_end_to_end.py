@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier (see pytest.ini)
+
 from dyglib_tpu.models import TGAT
 from dyglib_tpu.train import LinkPredictionTrainer, TrainConfig
 

@@ -63,6 +63,7 @@ def setup(link_data):
     return d, csr, tables
 
 
+@pytest.mark.slow
 def test_dygformer_time_kernel_matches_plain(setup):
     d, csr, tables = setup
     mk = dict(max_input_sequence_length=32, patch_size=4, num_layers=1)
@@ -110,6 +111,7 @@ def test_dygformer_time_kernel_matches_plain(setup):
         )
 
 
+@pytest.mark.slow
 def test_dygformer_auto_kernel_with_buckets_trains(link_data, tmp_path):
     """auto-ON operating point (patch>=16) + sequence buckets: one fit()
     through the trainer — guards the kernel's static-shape handling across
