@@ -76,6 +76,8 @@ class TGATNet(nn.Module):
     # the (M*K, Dt) time-feature tensor and the kv concatenate never exist
     # in HBM; applies at every layer of the plain path
     use_phi_fusion: bool = False
+    # split-input K/V projections (see TemporalMultiHeadAttention.split_kv)
+    split_kv: bool = False
 
     @nn.compact
     def __call__(
@@ -86,7 +88,8 @@ class TGATNet(nn.Module):
         convs = [
             TemporalMultiHeadAttention(
                 self.num_heads, self.dropout, dtype=self.dtype,
-                use_pallas=self.use_pallas, name=f"temporal_conv_{l}",
+                use_pallas=self.use_pallas, split_kv=self.split_kv,
+                name=f"temporal_conv_{l}",
             )
             for l in range(L)
         ]
@@ -208,6 +211,8 @@ class TGAT:
     # fused Phi(dt) @ W_phi K/V contribution (ops/pallas/phi_projection.py)
     # — "auto" resolves by measured verdict in the kernel header
     use_phi_fusion: bool | str = "auto"
+    # split-input K/V projections (TemporalMultiHeadAttention.split_kv)
+    use_split_kv: bool = False
     has_state: bool = False
     # ask the trainer for an entry-ordered feature table on the CSR
     # (csr.feat_entry). Default OFF — MEASURED at the shipped operating
@@ -251,7 +256,7 @@ class TGAT:
         self.module = TGATNet(
             use_pallas=bool(fused), use_window_kernel=self._window_kernel,
             use_gathered_kernel=self._gathered_kernel,
-            use_phi_fusion=self._phi_fusion,
+            use_phi_fusion=self._phi_fusion, split_kv=self.use_split_kv,
             **kwargs,
         )
         # param init runs on the CPU backend (remote-compile workaround),
