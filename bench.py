@@ -153,13 +153,25 @@ def main(which: str = "all"):
                 res = tr.train_epoch_scan_fn(*out, tr.train_csr, stacked, scan_keys)
                 jax.block_until_ready(res[3])
                 out = res[:3]
-            t0 = time.time()
-            res = tr.train_epoch_scan_fn(*out, tr.train_csr, stacked, scan_keys)
-            jax.block_until_ready(res[3])
-            dt = (time.time() - t0) / N_SCAN
+            # THREE timed windows: median is the reported number, the
+            # spread is the same-session variance estimate (VERDICT r3 #7
+            # bench-methodology pinning — the tunnel-attached chip varies
+            # hour-to-hour, so every artifact carries its own error bar)
+            window_dts = []
+            for _ in range(3):
+                t0 = time.time()
+                res = tr.train_epoch_scan_fn(
+                    *out, tr.train_csr, stacked, scan_keys
+                )
+                jax.block_until_ready(res[3])
+                out = res[:3]
+                window_dts.append((time.time() - t0) / N_SCAN)
+            dt = sorted(window_dts)[1]  # median of 3
+            spread_pct = 100.0 * (max(window_dts) - min(window_dts)) / dt
             results[name] = {
                 "ms_per_step": round(dt * 1e3, 2),
                 "edges_per_s": round(B / dt, 1),
+                "window_spread_pct": round(spread_pct, 1),
             }
             try:  # achieved FLOP/s from XLA cost analysis, per model
                 cost = tr.train_epoch_scan_jit.lower(
@@ -210,6 +222,13 @@ def main(which: str = "all"):
     head = results.get(flagship, {})
     headline = head.get("edges_per_s", 0.0)
     out = {
+        # FROZEN measurement schema (round 4, VERDICT r3 #7): B=200,
+        # 64-step fused-scan window, RBG PRNG, two-warmup discipline,
+        # median of 3 timed windows, all 8 families + the CanParl long-
+        # sequence point, per-model TF/s + MFU, per-model window spread.
+        # Round-over-round comparisons are valid ONLY within this schema
+        # (the r1 headline used a different window; see BASELINE.md).
+        "schema": "r4",
         "metric": (
             f"{flagship} train-step throughput (B={B}, Wikipedia-scale, "
             f"fused {N_SCAN}-step scan, RBG PRNG)"

@@ -89,7 +89,7 @@ def get_data():
     return get_link_prediction_data("s", data_root=ROOT)
 
 
-def run_reference(name, d, seed=0):
+def run_reference(name, d, seed=0, return_model=False):
     from models.CAWN import CAWN
     from models.DyGFormer import DyGFormer
     from models.GraphMixer import GraphMixer
@@ -244,10 +244,16 @@ def run_reference(name, d, seed=0):
             f"val ap {ap:.4f} auc {auc:.4f} ({time.time()-t0:.1f}s)",
             flush=True,
         )
+    if return_model:
+        return ap_by_epoch, dict(
+            backbone=backbone, head=head, model=model, embed=embed,
+            eval_split=eval_split, is_memory=is_memory,
+            full_sampler=full_sampler,
+        )
     return ap_by_epoch
 
 
-def run_ours(name, d, seed=0):
+def run_ours(name, d, seed=0, return_model=False):
     import jax
 
     from dyglib_tpu.graph import NegativeEdgeSampler
@@ -308,6 +314,8 @@ def run_ours(name, d, seed=0):
             f"({time.time()-t0:.1f}s)",
             flush=True,
         )
+    if return_model:
+        return ap_by_epoch, dict(trainer=tr, params=params, state=state)
     return ap_by_epoch
 
 
