@@ -116,6 +116,15 @@ def main():
             import torch
 
             is_memory = ref_ctx["is_memory"]
+            if is_memory:
+                # run_reference's final epoch ends with a val eval that
+                # commits val positives, leaving memory past val time; an
+                # eval arm over val would trip the memory-in-the-past
+                # assert (MemoryModel.py:475). Restore the END-OF-TRAIN
+                # memory captured right after the final train epoch.
+                ref_ctx["backbone"].memory_bank.reload_memory_bank(
+                    ref_ctx["post_train_memory"]
+                )
             for strat in STRATEGIES:
                 back = None
                 if is_memory:

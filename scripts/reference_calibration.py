@@ -237,6 +237,11 @@ def run_reference(name, d, seed=0, return_model=False):
             losses.append(loss.item())
         if name not in ("JODIE",):
             backbone.set_neighbor_sampler(full_sampler)
+        if is_memory:
+            # end-of-train memory snapshot (consumed by
+            # eval_arm_calibration.py; the val eval below advances memory
+            # past val time)
+            post_train_memory = backbone.memory_bank.backup_memory_bank()
         ap, auc = eval_split(d.val, val_neg)
         ap_by_epoch.append(ap)
         print(
@@ -249,6 +254,7 @@ def run_reference(name, d, seed=0, return_model=False):
             backbone=backbone, head=head, model=model, embed=embed,
             eval_split=eval_split, is_memory=is_memory,
             full_sampler=full_sampler,
+            post_train_memory=post_train_memory if is_memory else None,
         )
     return ap_by_epoch
 
