@@ -35,7 +35,14 @@ trainer) — the kernel tier's FIRST measured win:
     | lastfm  (maxlen 512, patch 16)   | 17.63 ms | 16.71 ms    |1.06x|
 
 (BLK 512 fwd / 128 bwd; 256/16 and 1024/64 measured worse or VMEM-OOM —
-the unrolled slot loop's temporaries live on the VMEM stack.) Follow-up
+the unrolled slot loop's temporaries live on the VMEM stack.)
+
+ROUND 4: the kernel was measured ~80%% cosine; with the fast-trig path
+(TC_FAST_TRIG, default ON — see the header note above the flag) the
+whole-model numbers moved CanParl 46.4 -> 39.5 ms/step (1.18x) and
+lastfm 16.7 -> 15.4 (1.09x), end-metric neutral (TPU 8-epoch best val
+AP 0.9482 fast vs 0.9471 plain-path at the calibration operating
+point). Follow-up
 measurement: even at patch 1 (wikipedia/reddit maxlen 32) the kernel wins
 ~4% (8.40/8.54/8.61 vs 8.74/8.87 ms/step back-to-back), so "auto"
 resolves ON everywhere. This wins where the four
@@ -68,6 +75,56 @@ BLK_P = int(os.environ.get("TC_BLK", "512"))  # patch rows per program
 # bwd at SLOT=8/BLK 128 also exceeds the 16M scoped-VMEM limit. Kept as a
 # parity-tested variant (TC_SLOT env); 0 = legacy per-slot loop (default).
 TC_SLOT = int(os.environ.get("TC_SLOT", "0"))
+# fast-math trig (round 4): the kernel is ~80% cosine — XLA's TPU cos
+# spends ~36 cycles/element on extended-precision range reduction
+# (isolated ablation: fwd kernel 5.1 ms with jnp.cos, 1.1 ms without,
+# 1.35 ms with the Cody-Waite+polynomial path below = 3.8x on the fwd
+# kernel at CanParl shapes). Accuracy: <=1e-4 abs for |theta| <~ 2.6e4
+# (k < 2^12, where the two-term reduction is exact); up to ~3e-2 at
+# theta ~ 1e6, where f32's own input quantization (ulp(theta) ~ 0.06 rad)
+# already exceeds the approximation error and the bf16 matmul consuming
+# Phi rounds harder than that. TC_FAST_TRIG=0 restores jnp.cos/sin
+# (bitwise XLA parity); the oracle/parity tests run at small-theta
+# scales where both paths agree within the existing tolerances.
+TC_FAST_TRIG = os.environ.get("TC_FAST_TRIG", "1") == "1"
+
+_INV2PI = 0.15915494309189535
+_C1 = 6.28125  # 2*pi split: C1 exact in 12 significand bits
+_C2 = 0.0019353071795864769
+# Taylor coefficients through r^14 (cos) / r^15 (sin): remainder <=5e-7
+# (cos) / 3e-7 (sin) at |r| = pi after reduction
+_COS_P = (1.0, -0.5, 1 / 24.0, -1 / 720.0, 1 / 40320.0, -1 / 3628800.0,
+          1 / 479001600.0, -1 / 87178291200.0)
+_SIN_P = (1.0, -1 / 6.0, 1 / 120.0, -1 / 5040.0, 1 / 362880.0,
+          -1 / 39916800.0, 1 / 6227020800.0, -1 / 1307674368000.0)
+
+
+def _reduce_2pi(x):
+    k = jnp.round(x * _INV2PI)
+    return (x - k * _C1) - k * _C2
+
+
+def _poly_even(r2, coeffs):
+    acc = jnp.float32(coeffs[-1])
+    for c in coeffs[-2::-1]:
+        acc = acc * r2 + jnp.float32(c)
+    return acc
+
+
+def _cos(x):
+    if not TC_FAST_TRIG:
+        return jnp.cos(x)
+    r = _reduce_2pi(x)
+    return _poly_even(r * r, _COS_P)
+
+
+def _sincos(x):
+    """(sin x, cos x) sharing one range reduction (backward kernel)."""
+    if not TC_FAST_TRIG:
+        return jnp.sin(x), jnp.cos(x)
+    r = _reduce_2pi(x)
+    r2 = r * r
+    return r * _poly_even(r2, _SIN_P), _poly_even(r2, _COS_P)
 # backward holds per-slot temporaries for every UNROLLED slot iteration on
 # the VMEM stack; 256-row blocks measured 26.2M scoped (> 16M limit) at
 # patch=64
@@ -79,7 +136,7 @@ def _fwd_kernel(dt_ref, valid_ref, tw_ref, tb_ref, w_ref, bias_ref, out_ref,
     dt_dim = tw_ref.shape[-1]
     acc = jnp.broadcast_to(bias_ref[:], (out_ref.shape[0], out_ref.shape[1]))
     for j in range(patch):
-        phi = jnp.cos(dt_ref[:, j : j + 1] * tw_ref[:] + tb_ref[:])
+        phi = _cos(dt_ref[:, j : j + 1] * tw_ref[:] + tb_ref[:])
         phi = phi * valid_ref[:, j : j + 1]
         acc = acc + jnp.dot(
             phi.astype(jnp.bfloat16),
@@ -96,7 +153,7 @@ def _fwd_kernel_slots(dt_ref, valid_ref, tw_ref, tb_ref, w_ref, bias_ref,
     for j0 in range(0, patch, slot):
         phi_cat = jnp.concatenate(
             [
-                jnp.cos(dt_ref[:, j : j + 1] * tw_ref[:] + tb_ref[:])
+                _cos(dt_ref[:, j : j + 1] * tw_ref[:] + tb_ref[:])
                 * valid_ref[:, j : j + 1]
                 for j in range(j0, j0 + slot)
             ],
@@ -131,8 +188,9 @@ def _bwd_kernel_slots(dt_ref, valid_ref, tw_ref, tb_ref, w_ref, dout_ref,
             dt_ref[:, j : j + 1] * tw + tb for j in range(j0, j0 + slot)
         ]
         vcols = [valid_ref[:, j : j + 1] for j in range(j0, j0 + slot)]
+        sincs = [_sincos(th) for th in thetas]
         phi_cat = jnp.concatenate(
-            [jnp.cos(th) * v for th, v in zip(thetas, vcols)], axis=1
+            [sc[1] * v for sc, v in zip(sincs, vcols)], axis=1
         )
         w_grp = w_ref[j0 * dtp : (j0 + slot) * dtp, :]
         dw_ref[j0 * dtp : (j0 + slot) * dtp, :] += jnp.dot(
@@ -145,7 +203,7 @@ def _bwd_kernel_slots(dt_ref, valid_ref, tw_ref, tb_ref, w_ref, dout_ref,
         )  # zero on pad lanes (w_grp pad rows are zero)
         for i, j in enumerate(range(j0, j0 + slot)):
             dphi = dphi_cat[:, i * dtp : (i + 1) * dtp]
-            common = dphi * (-jnp.sin(thetas[i])) * vcols[i]
+            common = dphi * (-sincs[i][0]) * vcols[i]
             dtw_acc = dtw_acc + (common * dt_ref[:, j : j + 1]).sum(
                 0, keepdims=True
             )
@@ -175,14 +233,15 @@ def _bwd_kernel(dt_ref, valid_ref, tw_ref, tb_ref, w_ref, dout_ref,
         dt_col = dt_ref[:, j : j + 1]
         v_col = valid_ref[:, j : j + 1]
         theta = dt_col * tw + tb
-        phi = jnp.cos(theta) * v_col
+        sin_t, cos_t = _sincos(theta)
+        phi = cos_t * v_col
         w_j = w_ref[j * dt_dim : (j + 1) * dt_dim, :]
         dw_ref[j * dt_dim : (j + 1) * dt_dim, :] += jnp.dot(
             phi.astype(jnp.bfloat16).T, gb, preferred_element_type=jnp.float32
         )
         dphi = jnp.dot(gb, w_j.astype(jnp.bfloat16).T,
                        preferred_element_type=jnp.float32)
-        common = dphi * (-jnp.sin(theta)) * v_col
+        common = dphi * (-sin_t) * v_col
         dtw_acc = dtw_acc + (common * dt_col).sum(0, keepdims=True)
         dtb_acc = dtb_acc + common.sum(0, keepdims=True)
     dtw_ref[:] += dtw_acc
