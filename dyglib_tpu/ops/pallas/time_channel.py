@@ -86,45 +86,30 @@ TC_SLOT = int(os.environ.get("TC_SLOT", "0"))
 # Phi rounds harder than that. TC_FAST_TRIG=0 restores jnp.cos/sin
 # (bitwise XLA parity); the oracle/parity tests run at small-theta
 # scales where both paths agree within the existing tolerances.
-TC_FAST_TRIG = os.environ.get("TC_FAST_TRIG", "1") == "1"
-
-_INV2PI = 0.15915494309189535
-_C1 = 6.28125  # 2*pi split: C1 exact in 12 significand bits
-_C2 = 0.0019353071795864769
-# Taylor coefficients through r^14 (cos) / r^15 (sin): remainder <=5e-7
-# (cos) / 3e-7 (sin) at |r| = pi after reduction
-_COS_P = (1.0, -0.5, 1 / 24.0, -1 / 720.0, 1 / 40320.0, -1 / 3628800.0,
-          1 / 479001600.0, -1 / 87178291200.0)
-_SIN_P = (1.0, -1 / 6.0, 1 / 120.0, -1 / 5040.0, 1 / 362880.0,
-          -1 / 39916800.0, 1 / 6227020800.0, -1 / 1307674368000.0)
+# TC_FAST_TRIG: "1"/"0" forces the kernel's trig path; unset defers to
+# the shared gate (dyglib_tpu/ops/fast_trig.py: DYGLIB_FAST_TRIG,
+# default auto = ON on TPU, OFF on CPU so parity tests stay exact).
+from ..fast_trig import enabled as _ft_enabled
+from ..fast_trig import fast_cos as _fast_cos
+from ..fast_trig import fast_sincos as _fast_sincos
 
 
-def _reduce_2pi(x):
-    k = jnp.round(x * _INV2PI)
-    return (x - k * _C1) - k * _C2
-
-
-def _poly_even(r2, coeffs):
-    acc = jnp.float32(coeffs[-1])
-    for c in coeffs[-2::-1]:
-        acc = acc * r2 + jnp.float32(c)
-    return acc
+def _use_fast() -> bool:
+    mode = os.environ.get("TC_FAST_TRIG")
+    if mode is not None:
+        return mode == "1"
+    return _ft_enabled()
 
 
 def _cos(x):
-    if not TC_FAST_TRIG:
-        return jnp.cos(x)
-    r = _reduce_2pi(x)
-    return _poly_even(r * r, _COS_P)
+    return _fast_cos(x) if _use_fast() else jnp.cos(x)
 
 
 def _sincos(x):
     """(sin x, cos x) sharing one range reduction (backward kernel)."""
-    if not TC_FAST_TRIG:
-        return jnp.sin(x), jnp.cos(x)
-    r = _reduce_2pi(x)
-    r2 = r * r
-    return r * _poly_even(r2, _SIN_P), _poly_even(r2, _COS_P)
+    if _use_fast():
+        return _fast_sincos(x)
+    return jnp.sin(x), jnp.cos(x)
 # backward holds per-slot temporaries for every UNROLLED slot iteration on
 # the VMEM stack; 256-row blocks measured 26.2M scoped (> 16M limit) at
 # patch=64

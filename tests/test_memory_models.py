@@ -203,10 +203,11 @@ def test_memory_model_end_to_end(model_name, link_data, tmp_path):
     )
     results = trainer.fit(seed=0, log=lambda *a: None)
     ap = results["test metrics"]["average_precision"]
-    # band floors (tests/calibration_fixture.json, this exact 2-epoch
-    # protocol, mean - 3.25 sigma over 5 seeds): TGN 0.6321 +- 0.0303,
-    # JODIE 0.5202 +- 0.0247, DyRep 0.4914 +- 0.0355
-    floor = {"TGN": 0.53, "JODIE": 0.44, "DyRep": 0.38}[model_name]
+    # band floors (tests/calibration_fixture.json, re-derived round 4
+    # under the shipped neg_src=src eval protocol, mean - max(3 sigma,
+    # 0.03) over 5 seeds): TGN 0.6159 +- 0.0137, JODIE 0.6152 +- 0.0092,
+    # DyRep 0.5269 +- 0.0440
+    floor = {"TGN": 0.57, "JODIE": 0.58, "DyRep": 0.39}[model_name]
     assert floor < ap <= 1.0, f"{model_name} test AP {ap} < floor {floor}"
     assert np.isfinite(ap)
 

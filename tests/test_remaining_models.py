@@ -76,6 +76,8 @@ def test_dygformer_end_to_end(link_data, tmp_path):
     # #4). Regression sensitivity comes from the training-signal assert
     # below + the full-model transplant parity suite, not from this noisy
     # end metric.
+    # round-4 band (shipped protocol): ours 0.6368 +- 0.0438, ref
+    # 0.6316 +- 0.0208 -> floor mean - 3 sigma = 0.505
     assert ap > 0.50, f"DyGFormer test AP {ap}"
     # training signal: clearly below chance-level BCE (ln 2 ~ 0.693). A
     # relative first-vs-last decrease is the wrong check here — the
@@ -99,7 +101,9 @@ def test_cawn_end_to_end(link_data, tmp_path):
     ap = results["test metrics"]["average_precision"]
     # band floor (tests/calibration_fixture.json): ours 0.6605 +- 0.0338,
     # ref 0.6557 +- 0.0350 -> mean - 3.25 sigma ~ 0.55
-    assert ap > 0.55 and np.isfinite(ap), f"CAWN test AP {ap}"
+    # round-4 band (shipped protocol): ours 0.6950 +- 0.0381, ref
+    # 0.6811 +- 0.0433 -> floor mean - 3 sigma = 0.581
+    assert ap > 0.58 and np.isfinite(ap), f"CAWN test AP {ap}"
 
 
 def test_edgebank_modes(link_data):

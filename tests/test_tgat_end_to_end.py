@@ -22,13 +22,12 @@ def trained(link_data, tmp_path_factory):
 
 def test_training_learns(trained):
     trainer, results = trained
-    # band floor (tests/calibration_fixture.json, this exact protocol):
-    # ours 0.6109 +- 0.0108 over 5 seeds, ref 0.6398 +- 0.0239 ->
-    # mean - 3.25 sigma ~ 0.575. Separates a working model from an
-    # untrained one (~0.50) with measured, not guessed, margin.
+    # band floor (tests/calibration_fixture.json, re-derived round 4 under
+    # the shipped neg_src=src eval protocol): ours 0.6171 +- 0.0078 over
+    # 5 seeds, ref 0.6395 +- 0.0214 -> mean - max(3 sigma, 0.03) = 0.587.
     ap = results["test metrics"]["average_precision"]
     auc = results["test metrics"]["roc_auc"]
-    assert ap > 0.57, f"test AP {ap}"
+    assert ap > 0.58, f"test AP {ap}"
     assert auc > 0.57, f"test AUC {auc}"
     # all four splits reported, in [0, 1]
     for split in (
