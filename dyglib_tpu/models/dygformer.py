@@ -223,6 +223,9 @@ class DyGFormerNet(nn.Module):
     gelu_approximate: bool = False  # see PreLNTransformerEncoder
     pad_heads: bool = False  # see PreLNTransformerEncoder
     fold_patch_proj: bool = False  # see PatchProjection
+    # fused patch-projection kernel for the frozen node/edge channels
+    # (ops/pallas/patch_projection.py); only meaningful at patch_size > 1
+    use_patch_kernel: bool = False
     # rematerialize each transformer layer in backward: the flagship step
     # is HBM-bound on the (M, 4d) f32 FFN activations (trace: FFN dots at
     # the ~819 GB/s roofline, 27-66 TF/s) — recomputing them costs idle
@@ -301,6 +304,22 @@ class DyGFormerNet(nn.Module):
             chan_mod = lambda name: PatchProjection(
                 ced, self.patch_size, dtype=self.dtype, name=name
             )
+        if self.use_patch_kernel and self.patch_size > 1:
+            # fused patch-projection kernel for the FROZEN channels
+            # (ops/pallas/patch_projection.py): the (M, P, patch*D) repack
+            # never exists in HBM; no input cotangent (raw table rows)
+            from ..ops.pallas.patch_projection import patch_projection
+
+            def frozen_chan(name, x):
+                w, bias = RawLinearParams(
+                    self.patch_size * x.shape[-1], ced, name=name
+                )()
+                return patch_projection(
+                    jax.lax.stop_gradient(x.astype(jnp.float32)), w, bias,
+                    self.patch_size,
+                )
+        else:
+            frozen_chan = lambda name, x: chan_mod(name)(cast(x))
         if self.use_time_kernel:
             from ..ops.pallas.time_channel import time_channel_projection
 
@@ -316,8 +335,8 @@ class DyGFormerNet(nn.Module):
             time_feat = jnp.where(valid[..., None], time_enc(dt), 0.0)
             time_ch = chan_mod("proj_time")(cast(time_feat))
         row_ch = [
-            chan_mod("proj_node")(cast(node_feat)),
-            chan_mod("proj_edge")(cast(edge_feat)),
+            frozen_chan("proj_node", node_feat),
+            frozen_chan("proj_edge", edge_feat),
             time_ch,
         ]  # each (M, P, ced)
         co_mod = chan_mod("proj_co_occurrence")
@@ -399,6 +418,10 @@ class DyGFormer:
     # fold the patch flatten into the channel-projection dot (see
     # PatchProjection; only meaningful at patch_size > 1)
     fold_patch_proj: bool = False
+    # fused patch-projection kernel for the frozen node/edge channels —
+    # "auto" resolves OFF: measured 59.5+ vs 39.5 ms/step at CanParl
+    # (see the kernel's MEASURED VERDICT); kept as a parity-tested variant
+    use_patch_kernel: bool | str = "auto"
     # tanh-approximate GELU in the local transformer FFN (see
     # PreLNTransformerEncoder.gelu_approximate): "auto" resolves ON on the
     # TPU backend (measured 2.1x on the FFN fwd+bwd; <=3e-3 activation
@@ -448,6 +471,9 @@ class DyGFormer:
             import jax
 
             ga = jax.default_backend() == "tpu"
+        pk = self.use_patch_kernel
+        if pk == "auto":
+            pk = False  # measured loss vs XLA (kernel's MEASURED VERDICT)
         kwargs = dict(
             time_feat_dim=self.time_feat_dim,
             channel_embedding_dim=self.channel_embedding_dim,
@@ -462,7 +488,9 @@ class DyGFormer:
             pad_heads=self.pad_heads,
             fold_patch_proj=self.fold_patch_proj,
         )
-        self.module = DyGFormerNet(use_time_kernel=bool(tk), **kwargs)
+        self.module = DyGFormerNet(
+            use_time_kernel=bool(tk), use_patch_kernel=bool(pk), **kwargs
+        )
         # init runs on the CPU backend where the kernel runs interpreted
         # (slow at big shapes); the plain module has an IDENTICAL param
         # tree by construction (RawLinearParams mirrors TorchLinear)
