@@ -231,7 +231,7 @@ class LinkPredictionTrainer:
 
     # ---------------------------------------------------------------- jitted
     def _forward(self, params, csr, tables, batch, key, train, state, commit,
-                 bucket=None):
+                 bucket=None, dedup_eval=False):
         """Quad forward (+ optional state commit) -> loss, probs, new_state.
 
         ``tables`` is an explicit traced argument, never a closure: feature
@@ -251,7 +251,13 @@ class LinkPredictionTrainer:
         """
         src, dst, neg_src, neg_dst, ts, eid, valid = batch
         b = src.shape[0]
-        dedup = train and getattr(self.backbone, "pair_independent", False)
+        # dedup_eval (round 4): under the SHIPPED random-strategy eval
+        # protocol neg_src = src (evaluate_models_utils.py:61-63), so the
+        # training-side triple dedup applies to evaluation too — the
+        # caller sets it only when the sampler strategy is 'random'.
+        dedup = (train or dedup_eval) and getattr(
+            self.backbone, "pair_independent", False
+        )
         # pair-AWARE backbones with deterministic sampling (DyGFormer, TCL)
         # also train on the triple: the net reuses src's per-row channels
         # for both pairs and returns quad-order embeddings (triple=True —
@@ -261,7 +267,7 @@ class LinkPredictionTrainer:
         # (b) deterministic 'recent' sampling (neg_src rows bit-identical
         # to src presupposes identical neighbor draws)
         triple_aware = (
-            train and not dedup and not self.has_state
+            (train or dedup_eval) and not dedup and not self.has_state
             and getattr(self.backbone, "triple_expand", False)
             and getattr(self.backbone, "sample_strategy", "recent") == "recent"
         )
@@ -357,13 +363,16 @@ class LinkPredictionTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, new_state, loss, probs
 
-        def eval_step(params, state, csr, tables, batch, key, bucket=None):
+        def eval_step(params, state, csr, tables, batch, key, bucket=None,
+                      dedup_eval=False):
             loss, probs, new_state, _ = self._forward(
-                params, csr, tables, batch, key, False, state, True, bucket
+                params, csr, tables, batch, key, False, state, True, bucket,
+                dedup_eval=dedup_eval,
             )
             return loss, probs, new_state
 
-        def eval_scan(params, state, csr, tables, stacked_batches, keys):
+        def eval_scan(params, state, csr, tables, stacked_batches, keys,
+                      dedup_eval=False):
             """Whole evaluation sweep as one lax.scan program — removes the
             per-batch host dispatch (the dominant eval cost when the device
             is reached through a network tunnel). State (memory models)
@@ -372,7 +381,8 @@ class LinkPredictionTrainer:
             def body(state, inp):
                 batch, key = inp
                 loss, probs, state = eval_step(
-                    params, state, csr, tables, batch, key
+                    params, state, csr, tables, batch, key,
+                    dedup_eval=dedup_eval,
                 )
                 return state, (loss, probs)
 
@@ -416,8 +426,8 @@ class LinkPredictionTrainer:
         jit_train_step = jax.jit(
             train_step, donate_argnums=(0, 1, 2), static_argnums=(7,)
         )
-        jit_eval_step = jax.jit(eval_step, static_argnums=(6,))
-        jit_eval_scan = jax.jit(eval_scan)
+        jit_eval_step = jax.jit(eval_step, static_argnums=(6, 7))
+        jit_eval_scan = jax.jit(eval_scan, static_argnums=(6,))
         jit_train_epoch_scan = jax.jit(
             train_epoch_scan, donate_argnums=(0, 1, 2)
         )
@@ -428,12 +438,16 @@ class LinkPredictionTrainer:
             )
         )
         self.eval_step = (
-            lambda params, state, csr, batch, key, bucket=None:
-            jit_eval_step(params, state, csr, self.tables, batch, key, bucket)
+            lambda params, state, csr, batch, key, bucket=None,
+            dedup_eval=False:
+            jit_eval_step(params, state, csr, self.tables, batch, key,
+                          bucket, dedup_eval)
         )
         self.eval_scan_fn = (
-            lambda params, state, csr, stacked_batches, keys:
-            jit_eval_scan(params, state, csr, self.tables, stacked_batches, keys)
+            lambda params, state, csr, stacked_batches, keys,
+            dedup_eval=False:
+            jit_eval_scan(params, state, csr, self.tables, stacked_batches,
+                          keys, dedup_eval)
         )
         self.train_epoch_scan_fn = (
             lambda params, opt_state, state, csr, stacked_batches, keys:
@@ -751,6 +765,9 @@ class LinkPredictionTrainer:
         if scanned is None:
             scanned = self.cfg.scan_epochs and not self._buckets
         neg_sampler.reset_random_state()
+        # under the random strategy neg_src = src (see the staging loop
+        # below), so the training-side triple dedup is valid in eval too
+        dedup_ok = neg_sampler.negative_sample_strategy == "random"
         key = jax.random.PRNGKey(12345 + eval_key_salt)
         metas, arrays_list, buckets = [], [], []
         for b in chronological_batches(stream, self.cfg.batch_size):
@@ -789,7 +806,8 @@ class LinkPredictionTrainer:
                 )
             )
             loss_arr, probs, state = self.eval_scan_fn(
-                params, state, self.full_csr, stacked, keys
+                params, state, self.full_csr, stacked, keys,
+                dedup_ok,
             )
             pos, neg = self._host_probs(probs)
             losses = [float(x) for x in np.asarray(loss_arr)]
@@ -804,6 +822,7 @@ class LinkPredictionTrainer:
                 loss, probs, state = self.eval_step(
                     params, state, self.full_csr, arrays,
                     self._place_repl(jax.random.fold_in(key, i)), bucket,
+                    dedup_ok,
                 )
                 losses.append(float(loss))
                 metrics.append(self._batch_metrics(probs, b))

@@ -51,3 +51,27 @@ def test_random_strategy_scores_src_negdst(link_data, tmp_path):
         # the sentinel must never be scored: neg_src rows == batch src rows
         np.testing.assert_array_equal(ns[:n], b.src[:n])
         assert not np.any(ns == -12345)
+
+
+def test_eval_dedup_matches_quad_exactly(link_data, tmp_path):
+    """Random-strategy eval with the triple dedup == the full quad
+    (neg_src = src and 'recent' sampling make the reused src column
+    bit-identical to what the quad would recompute)."""
+    import dataclasses
+
+    backbone = GraphMixer(num_neighbors=5, num_layers=1, time_gap=32)
+    cfg = TrainConfig(batch_size=64, num_epochs=1)
+    tr = LinkPredictionTrainer(
+        backbone, link_data, cfg, str(tmp_path / "ck.pkl")
+    )
+    params, _ = tr.init_params(0)
+    _, m_dedup, _ = tr.evaluate(params, link_data.val, tr.val_neg, 0)
+
+    quad = dataclasses.replace(backbone, pair_independent=False)
+    tr2 = LinkPredictionTrainer(
+        quad, link_data, cfg, str(tmp_path / "ck2.pkl")
+    )
+    _, m_quad, _ = tr2.evaluate(params, link_data.val, tr2.val_neg, 0)
+    a = [m["average_precision"] for m in m_dedup]
+    b = [m["average_precision"] for m in m_quad]
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
