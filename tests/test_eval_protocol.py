@@ -75,3 +75,35 @@ def test_eval_dedup_matches_quad_exactly(link_data, tmp_path):
     a = [m["average_precision"] for m in m_dedup]
     b = [m["average_precision"] for m in m_quad]
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_eval_dedup_memory_model_state_exact(link_data, tmp_path):
+    """TGN eval with the triple dedup: metrics AND committed memory state
+    bitwise-equal to the quad path (the state commit consumes the src/dst
+    columns, which the triple carries verbatim)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dyglib_tpu.models import MemoryModel, compute_src_dst_node_time_shifts
+
+    d = link_data
+    shifts = compute_src_dst_node_time_shifts(d.train.src, d.train.dst, d.train.ts)
+    bk = MemoryModel(model_name="TGN", num_neighbors=5, num_layers=1,
+                     time_shifts=shifts)
+    cfg = TrainConfig(batch_size=64, num_epochs=1)
+    tr = LinkPredictionTrainer(bk, d, cfg, str(tmp_path / "a.pkl"))
+    params, _ = tr.init_params(0)
+    state = tr.init_state()
+    _, m1, s1 = tr.evaluate(params, d.val, tr.val_neg, 0, state=state)
+    quad = dataclasses.replace(bk, pair_independent=False)
+    tr2 = LinkPredictionTrainer(quad, d, cfg, str(tmp_path / "b.pkl"))
+    _, m2, s2 = tr2.evaluate(params, d.val, tr2.val_neg, 0, state=state)
+    a = [m["average_precision"] for m in m1]
+    b = [m["average_precision"] for m in m2]
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+    for x, y in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+        xf = jnp.asarray(x).astype(jnp.float32)
+        yf = jnp.asarray(y).astype(jnp.float32)
+        assert float(jnp.abs(xf - yf).max()) == 0.0
