@@ -157,21 +157,41 @@ def main(which: str = "all"):
             # spread is the same-session variance estimate (VERDICT r3 #7
             # bench-methodology pinning — the tunnel-attached chip varies
             # hour-to-hour, so every artifact carries its own error bar)
-            window_dts = []
-            for _ in range(3):
+            def timed_window():
+                nonlocal out
                 t0 = time.time()
                 res = tr.train_epoch_scan_fn(
                     *out, tr.train_csr, stacked, scan_keys
                 )
                 jax.block_until_ready(res[3])
                 out = res[:3]
-                window_dts.append((time.time() - t0) / N_SCAN)
+                return (time.time() - t0) / N_SCAN
+
+            window_dts = [timed_window() for _ in range(3)]
+            raw_windows = list(window_dts)
+            # Bounded re-run rule (VERDICT r4 #4): BENCH_r04 recorded 14x
+            # outlier windows (CAWN 1318%, GraphMixer 138%) — one-off host
+            # events (tunnel stall / GC / stray recompile) inside a timed
+            # window. If the max/min spread exceeds 30% of the median,
+            # drop the slowest window and re-time it, at most twice; the
+            # JSON keeps every raw window plus the rerun count so an
+            # artifact can never silently hide an outlier.
+            reruns = 0
+            def spread(ws):
+                return (max(ws) - min(ws)) / sorted(ws)[len(ws) // 2]
+            while spread(window_dts) > 0.30 and reruns < 2:
+                window_dts.remove(max(window_dts))
+                window_dts.append(timed_window())
+                raw_windows.append(window_dts[-1])
+                reruns += 1
             dt = sorted(window_dts)[1]  # median of 3
-            spread_pct = 100.0 * (max(window_dts) - min(window_dts)) / dt
+            spread_pct = 100.0 * spread(window_dts)
             results[name] = {
                 "ms_per_step": round(dt * 1e3, 2),
                 "edges_per_s": round(B / dt, 1),
                 "window_spread_pct": round(spread_pct, 1),
+                "windows_ms_raw": [round(w * 1e3, 3) for w in raw_windows],
+                "outlier_reruns": reruns,
             }
             try:  # achieved FLOP/s from XLA cost analysis, per model
                 cost = tr.train_epoch_scan_jit.lower(
@@ -228,7 +248,10 @@ def main(which: str = "all"):
         # sequence point, per-model TF/s + MFU, per-model window spread.
         # Round-over-round comparisons are valid ONLY within this schema
         # (the r1 headline used a different window; see BASELINE.md).
-        "schema": "r4",
+        # r5 adds per-model raw window times + the bounded outlier-rerun
+        # rule (spread > 30% -> re-time the slowest window, <= 2x); the
+        # timing discipline itself is unchanged, so r4/r5 rows compare.
+        "schema": "r5",
         "metric": (
             f"{flagship} train-step throughput (B={B}, Wikipedia-scale, "
             f"fused {N_SCAN}-step scan, RBG PRNG)"

@@ -50,7 +50,18 @@ def enabled() -> bool:
 
 def reduce_2pi(x):
     k = jnp.round(x * _INV2PI)
-    return (x - k * _C1) - k * _C2
+    r = (x - k * _C1) - k * _C2
+    # Beyond |x| ~ 5e7 the k*_C1 rounding error alone exceeds pi, so r
+    # lands outside the polynomial's convergence range and the Taylor
+    # series diverges without bound (measured |fast_cos| ~ 1e18 at
+    # x = 1e9 before this clamp).  There the phase of the f32 input is
+    # pure quantization noise anyway, so any bounded value is as good
+    # as any other — clamp so outputs stay in [-1, 1]+O(1e-5) for every
+    # finite input.  The bound is 3.2, NOT pi: a correct reduction can
+    # land a few f32 ulps beyond +-pi (k*_C1 rounding), and clamping
+    # those to exactly pi would perturb sin near its zero by ~1e-4; the
+    # polynomials still converge at |r| = 3.2 (Taylor remainder ~ 6e-6).
+    return jnp.clip(r, -3.2, 3.2)
 
 
 def poly_even(r2, coeffs):

@@ -851,8 +851,8 @@ class LinkPredictionTrainer:
         )
         log(
             f"model name: {type(self.backbone).__name__}, "
-            f"#parameters: {n_params * 4} B, {n_params * 4 / 1024} KB, "
-            f"{n_params * 4 / 1024 / 1024} MB."
+            f"#parameters: {n_params * 4} B, {n_params * 4 / 1024:.4f} KB, "
+            f"{n_params * 4 / 1024 / 1024:.4f} MB."
         )
         root_key = jax.random.PRNGKey(seed)
         early = EarlyStopping(

@@ -69,11 +69,16 @@ def collective_inventory(hlo_text: str) -> dict:
         if not m:
             continue
         kind = m.group(2)
-        if kind.rstrip("-start").rstrip("-done") in COLLECTIVES:
-            kind = kind.replace("-start", "").replace("-done", "")
-        if kind not in COLLECTIVES:
+        # Async collectives appear as <op>-start / <op>-done pairs; count
+        # each pair exactly once via its -done op (whose declared type is
+        # the clean result shape — the -start op declares a tuple that
+        # would double-count bytes).  removesuffix, NOT rstrip: rstrip
+        # strips a character set ("all-gather".rstrip("-start") ==
+        # "all-gathe") — ADVICE r4.
+        if kind.endswith("-start"):
             continue
-        if kind == "all-reduce" and "-done" in s.split("(")[0]:
+        kind = kind.removesuffix("-done")
+        if kind not in COLLECTIVES:
             continue
         d = out.setdefault(
             kind, {"count": 0, "bytes": 0, "max_bytes": 0, "dims": set()}

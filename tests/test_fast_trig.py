@@ -28,6 +28,23 @@ def test_large_args_bounded():
     assert np.max(np.abs(c - np.cos(np.asarray(x)))) < 0.5
 
 
+def test_huge_args_bounded():
+    """Beyond |x| ~ 5e7 the Cody-Waite reduction is quantization-dominated
+    (k*C1 rounding error > pi); the clamp in reduce_2pi must keep the
+    polynomial output in [-1, 1] regardless (pre-clamp this diverged to
+    |cos| ~ 1e18 at x = 1e9 — ADVICE r4)."""
+    rs = np.random.RandomState(3)
+    xs = [rs.uniform(-s, s, 5000).astype(np.float32)
+          for s in (1e8, 1e9, 1e10)]
+    x = jnp.asarray(np.concatenate(xs + [np.float32([1e8, -1e8, 1e9, -1e9,
+                                                     5e7, 3.4e38])]))
+    c = np.asarray(fast_trig.fast_cos(x))
+    s, c2 = map(np.asarray, fast_trig.fast_sincos(x))
+    for out in (c, s, c2):
+        assert np.all(np.isfinite(out))
+        assert np.all(np.abs(out) <= 1.0 + 1e-3)
+
+
 def test_gate_default_off_on_cpu(monkeypatch):
     monkeypatch.delenv("DYGLIB_FAST_TRIG", raising=False)
     assert not fast_trig.enabled()  # tests force the CPU backend
