@@ -1,25 +1,38 @@
-"""Historical/inductive eval-arm calibration (VERDICT r3 #5).
+"""Historical/inductive eval-arm calibration — all 8 families, val+test.
 
-The random-strategy bands (reference_calibration.py) leave the
-historical/inductive negative samplers — a distinguishing DyGLib
-capability (/root/reference/evaluate_link_prediction.py:41-58) —
-metrically uncalibrated. This script trains TGN, TGAT and DyGFormer on
-both sides (shared replay train negatives, as in reference_calibration)
-and evaluates the FINAL model on the val split under `historical` and
-`inductive` negative samplers.
+VERDICT r4 #1: the round-4 run covered 3 families, val split only,
+2 seeds/side, and recorded a TGN historical-arm deviation (ref 0.6634 vs
+ours 0.6982 under shared negatives) plus an internal inconsistency
+(ours_shared 0.698 vs ours_own 0.675 — same model, same sampler
+DISTRIBUTION, different draw stream). This round's upgrade, built to
+root-cause both:
 
-Variance control: BOTH sides consume the REFERENCE's own
+  * all 8 trainable families (was 3);
+  * val AND test arms, with the reference's exact sampler layout
+    (evaluate_link_prediction.py:41-58: val last_observed_time = end of
+    train, seed 0; test last_observed_time = end of val, seed 2; memory
+    models evaluated from end-of-train / end-of-val memory respectively);
+  * >= 4 training seeds per side (EVALARM_SEEDS, default 4);
+  * a SAMPLER-SEED sweep: each (trained model, arm) is re-scored under
+    EVALARM_SAMPLER_SEEDS (default 3) distinct negative streams, both
+    sides consuming the SAME streams. The per-stream column quantifies
+    how much of any ref-vs-ours gap is draw-stream sensitivity (the
+    ours_shared-vs-ours_own 2.3pt spread says it is large) and the
+    across-stream mean is a far lower-variance estimator of the true
+    model difference than any single stream.
+
+Variance control as before: BOTH sides consume the REFERENCE's own
 NegativeEdgeSampler instance (pure numpy, oracle-only import) seeded
-identically — our trainer's evaluate() speaks the same sampler interface
-(sample(n, batch ids, batch time range) + reset_random_state), so the
-two sides score the SAME negative edges batch for batch and the band
-isolates model/protocol differences from sampler RNG streams. Our own
-NegativeEdgeSampler's distribution parity is covered separately
-(tests/test_neg_sampler.py, tests/test_inductive_eval.py); a third
-column evaluates ours with OUR sampler to show it lands in the band.
+identically — our trainer's evaluate() speaks the same sampler interface,
+so the two sides score the SAME negative edges batch for batch. A final
+column evaluates ours with OUR sampler implementation to show it lands in
+the band (distribution parity is separately tested in
+tests/test_neg_sampler.py / tests/test_inductive_eval.py).
 
 Usage: JAX_PLATFORMS=cpu python scripts/eval_arm_calibration.py [model ...]
-Env: CAL_EPOCHS (default 8), EVALARM_SEEDS (default 2), EVALARM_JSON.
+Env: CAL_EPOCHS (default 8), EVALARM_SEEDS (default 4),
+     EVALARM_SAMPLER_SEEDS (default 3), EVALARM_SPLITS (default val,test),
+     EVALARM_JSON.
 """
 import json
 import os
@@ -34,36 +47,47 @@ import numpy as np
 
 import reference_calibration as rc
 
-SEEDS = int(os.environ.get("EVALARM_SEEDS", "2"))
-MODELS = ["TGN", "TGAT", "DyGFormer"]
+SEEDS = int(os.environ.get("EVALARM_SEEDS", "4"))
+N_SAMPLER_SEEDS = int(os.environ.get("EVALARM_SAMPLER_SEEDS", "3"))
+SPLITS = os.environ.get("EVALARM_SPLITS", "val,test").split(",")
+MODELS = ["TGN", "TGAT", "DyGFormer", "JODIE", "DyRep", "TCL",
+          "GraphMixer", "CAWN"]
 STRATEGIES = ["historical", "inductive"]
+# reference sampler seeds: val arm 0, test arm 2
+# (evaluate_link_prediction.py:44, 50); extra sweep seeds are arbitrary
+# distinct offsets — the sweep quantifies stream sensitivity, and both
+# sides always consume identical streams seed-for-seed.
+BASE_SEED = {"val": 0, "test": 2}
+SWEEP_OFFSETS = [0, 7, 13, 29, 41]
 
 
-def _make_ref_sampler(d, strategy, seed=0):
-    """Reference val-arm sampler layout (evaluate_link_prediction.py:41-46):
-    src/dst/times from full data, last_observed_time = end of train."""
+def _make_ref_sampler(d, split, strategy, seed):
+    """Reference arm-sampler layout (evaluate_link_prediction.py:41-58):
+    src/dst/times from full data; last_observed_time = end of train (val
+    arm) / end of val (test arm)."""
     from utils.utils import NegativeEdgeSampler
 
+    last_obs = d.train.ts[-1] if split == "val" else d.val.ts[-1]
     return NegativeEdgeSampler(
         src_node_ids=d.full.src, dst_node_ids=d.full.dst,
-        interact_times=d.full.ts,
-        last_observed_time=d.train.ts[-1],
+        interact_times=d.full.ts, last_observed_time=last_obs,
         negative_sample_strategy=strategy, seed=seed,
     )
 
 
-def _make_ours_sampler(d, strategy, seed=0):
+def _make_ours_sampler(d, split, strategy, seed):
     from dyglib_tpu.graph import NegativeEdgeSampler
 
+    last_obs = d.train.ts[-1] if split == "val" else d.val.ts[-1]
     return NegativeEdgeSampler(
         d.full.src, d.full.dst, interact_times=d.full.ts,
-        last_observed_time=d.train.ts[-1],
+        last_observed_time=last_obs,
         negative_sample_strategy=strategy, seed=seed,
     )
 
 
-def ref_eval_arm(ctx, d, neg):
-    """Torch-side val sweep under a non-random sampler (the reference's
+def ref_eval_arm(ctx, stream, neg):
+    """Torch-side sweep under a non-random sampler (the reference's
     evaluate_models_utils.py:55-60 protocol: the sampled (neg_src,
     neg_dst) pair is scored, batch time range plumbed through)."""
     import torch
@@ -72,7 +96,6 @@ def ref_eval_arm(ctx, d, neg):
 
     model, embed, head = ctx["model"], ctx["embed"], ctx["head"]
     is_memory = ctx["is_memory"]
-    stream = d.val
     model.eval()
     neg.reset_random_state()
     aps, aucs = [], []
@@ -104,6 +127,7 @@ def ref_eval_arm(ctx, d, neg):
 def main():
     models = sys.argv[1:] or MODELS
     d = rc.get_data()
+    streams = {"val": d.val, "test": d.test}
     out = {}
     for name in models:
         out[name] = {}
@@ -112,63 +136,110 @@ def main():
             _, ref_ctx = rc.run_reference(name, d, seed, return_model=True)
             _, ours_ctx = rc.run_ours(name, d, seed, return_model=True)
             tr = ours_ctx["trainer"]
-            params, state = ours_ctx["params"], ours_ctx["state"]
-            import torch
-
+            params = ours_ctx["params"]
             is_memory = ref_ctx["is_memory"]
+            # Memory staging per split (the reference protocol,
+            # train_link_prediction.py:265-299): the val arm evaluates
+            # from END-OF-TRAIN memory, the test arm from END-OF-VAL
+            # memory.  At ctx return the ref memory bank sits at
+            # end-of-val (run_reference's final action is the val eval,
+            # which commits val positives) — capture that BEFORE any
+            # restore.  Ours: ours_ctx["state"] is end-of-train; advance
+            # a copy through val once with the (cheap, stream-irrelevant)
+            # replay sampler — committed positives are identical under
+            # any negative stream.
+            ref_mem = {"val": None, "test": None}
+            ours_state = {"val": ours_ctx["state"], "test": ours_ctx["state"]}
             if is_memory:
-                # run_reference's final epoch ends with a val eval that
-                # commits val positives, leaving memory past val time; an
-                # eval arm over val would trip the memory-in-the-past
-                # assert (MemoryModel.py:475). Restore the END-OF-TRAIN
-                # memory captured right after the final train epoch.
-                ref_ctx["backbone"].memory_bank.reload_memory_bank(
-                    ref_ctx["post_train_memory"]
+                ref_mem["test"] = ref_ctx["backbone"].memory_bank.backup_memory_bank()
+                ref_mem["val"] = ref_ctx["post_train_memory"]
+            if is_memory and "test" in SPLITS:
+                _, _, ours_state["test"] = tr.evaluate(
+                    params, d.val,
+                    rc.ReplayNegs(d.full.src, d.full.dst, seed=0),
+                    0, state=ours_ctx["state"],
                 )
-            for strat in STRATEGIES:
-                back = None
-                if is_memory:
-                    back = ref_ctx["backbone"].memory_bank.backup_memory_bank()
-                t0 = time.time()
-                ref_ap, _ = ref_eval_arm(ref_ctx, d, _make_ref_sampler(d, strat))
-                if is_memory:
-                    ref_ctx["backbone"].memory_bank.reload_memory_bank(back)
-                # ours, scoring the SAME negatives (reference sampler obj)
-                _, m_shared, _ = tr.evaluate(
-                    params, d.val, _make_ref_sampler(d, strat), 0, state=state
-                )
-                ours_shared = tr.mean_metrics(m_shared)["average_precision"]
-                # ours with OUR sampler implementation (different RNG stream)
-                _, m_own, _ = tr.evaluate(
-                    params, d.val, _make_ours_sampler(d, strat), 0, state=state
-                )
-                ours_own = tr.mean_metrics(m_own)["average_precision"]
-                rec = out[name].setdefault(
-                    strat, {"ref": [], "ours_shared_negs": [], "ours_own_sampler": []}
-                )
-                rec["ref"].append(ref_ap)
-                rec["ours_shared_negs"].append(ours_shared)
-                rec["ours_own_sampler"].append(ours_own)
-                print(
-                    f"  {strat:>10} s{seed}: ref {ref_ap:.4f} | "
-                    f"ours(shared negs) {ours_shared:.4f} | "
-                    f"ours(own sampler) {ours_own:.4f} "
-                    f"({time.time()-t0:.0f}s)", flush=True,
-                )
-    for name, strats in out.items():
-        for strat, rec in strats.items():
-            print(
-                f"{name:<10} {strat:>10}: ref {np.mean(rec['ref']):.4f}"
-                f"+-{np.std(rec['ref']):.4f} | shared "
-                f"{np.mean(rec['ours_shared_negs']):.4f}"
-                f"+-{np.std(rec['ours_shared_negs']):.4f} | own "
-                f"{np.mean(rec['ours_own_sampler']):.4f}"
-                f"+-{np.std(rec['ours_own_sampler']):.4f}"
-            )
+            for split in SPLITS:
+                stream = streams[split]
+                for strat in STRATEGIES:
+                    rec = out[name].setdefault(f"{split}/{strat}", {
+                        "ref": [], "ours_shared_negs": [],
+                        "ours_own_sampler": [], "sampler_seeds": [],
+                    })
+                    t0 = time.time()
+                    refs, shareds, owns, sseeds = [], [], [], []
+                    for off in SWEEP_OFFSETS[:N_SAMPLER_SEEDS]:
+                        sseed = BASE_SEED[split] + off
+                        sseeds.append(sseed)
+                        if is_memory:
+                            ref_ctx["backbone"].memory_bank.reload_memory_bank(
+                                ref_mem[split]
+                            )
+                        ref_ap, _ = ref_eval_arm(
+                            ref_ctx, stream,
+                            _make_ref_sampler(d, split, strat, sseed),
+                        )
+                        refs.append(ref_ap)
+                        # ours, scoring the SAME negatives (ref sampler obj)
+                        _, m_shared, _ = tr.evaluate(
+                            params, stream,
+                            _make_ref_sampler(d, split, strat, sseed),
+                            0, state=ours_state[split],
+                        )
+                        shareds.append(
+                            tr.mean_metrics(m_shared)["average_precision"]
+                        )
+                        # ours with OUR sampler implementation (same seed,
+                        # different RNG stream by construction)
+                        _, m_own, _ = tr.evaluate(
+                            params, stream,
+                            _make_ours_sampler(d, split, strat, sseed),
+                            0, state=ours_state[split],
+                        )
+                        owns.append(
+                            tr.mean_metrics(m_own)["average_precision"]
+                        )
+                    rec["ref"].append(refs)
+                    rec["ours_shared_negs"].append(shareds)
+                    rec["ours_own_sampler"].append(owns)
+                    rec["sampler_seeds"] = sseeds
+                    print(
+                        f"  {split}/{strat:>10} s{seed}: "
+                        f"ref {np.mean(refs):.4f} (streams "
+                        f"{' '.join(f'{x:.3f}' for x in refs)}) | "
+                        f"shared {np.mean(shareds):.4f} "
+                        f"({' '.join(f'{x:.3f}' for x in shareds)}) | "
+                        f"own {np.mean(owns):.4f} "
+                        f"({time.time()-t0:.0f}s)", flush=True,
+                    )
+            _dump(out)
+    _summarize(out)
+
+
+def _dump(out):
     path = os.environ.get("EVALARM_JSON")
     if path:
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
+
+
+def _summarize(out):
+    print("\n== bands (mean over training seeds x sampler streams; "
+          "sigma_train = across-seed std of per-seed stream-means; "
+          "sigma_stream = mean within-seed across-stream std)")
+    for name, arms in out.items():
+        for arm, rec in arms.items():
+            r = np.asarray(rec["ref"])          # (seeds, streams)
+            s = np.asarray(rec["ours_shared_negs"])
+            o = np.asarray(rec["ours_own_sampler"])
+            print(
+                f"{name:<10} {arm:>15}: "
+                f"ref {r.mean():.4f}+-{r.mean(1).std():.4f}"
+                f"(~{r.std(1).mean():.4f}/stream) | shared "
+                f"{s.mean():.4f}+-{s.mean(1).std():.4f}"
+                f"(~{s.std(1).mean():.4f}/stream) | own "
+                f"{o.mean():.4f}+-{o.mean(1).std():.4f}"
+            )
 
 
 if __name__ == "__main__":
