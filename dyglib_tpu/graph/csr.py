@@ -83,6 +83,15 @@ class TemporalCSR(NamedTuple):
     # features per occurrence), so it is built on demand under a byte
     # budget; consumers fall back to row gathers without it.
     feat_entry: Optional[jnp.ndarray] = None
+    # (S, T, 128) f32 — the SAME per-entry packed rows in 128-lane SLAB
+    # layout (slab s holds lanes [s*128, (s+1)*128) of the packed row).
+    # Built instead of feat_entry for consumers whose fetch is the
+    # window-DMA kernel (ops/pallas/window_fetch.py): Mosaic supports
+    # row-granular DMA at DYNAMIC UNALIGNED row starts ONLY for
+    # single-lane-tile (<=128-lane) arrays (probed round 5 — wider arrays
+    # fail "tile index divisible by 8"), and a static lane-offset concat
+    # of S slabs inside VMEM is free, while a sublane->lane repack is not.
+    feat_entry_slabs: Optional[jnp.ndarray] = None
     # (Dn,) int8 placeholder: its LENGTH is the node-feature width of
     # feat_entry's packed rows (same pytree-static-int trick as seg_steps)
     feat_entry_ndim: Optional[jnp.ndarray] = None
@@ -128,6 +137,20 @@ class TemporalCSR(NamedTuple):
 FEAT_ENTRY_PAD = 512
 
 
+def feat_entry_guard_pad(csr) -> int:
+    """Guard rows on each side of csr.feat_entry / feat_entry_slabs
+    (layout [guard(pad) | entries(m) | guard(pad) | node_rows]; the node
+    block is num_nodes rounded up to 8 plus 8 slack rows — see
+    build_temporal_csr)."""
+    rows = (
+        csr.feat_entry.shape[0]
+        if csr.feat_entry is not None
+        else csr.feat_entry_slabs.shape[1]
+    )
+    n_rows = -(-csr.num_nodes // 8) * 8 + 8
+    return (rows - csr.num_entries - n_rows) // 2
+
+
 def build_temporal_csr(
     stream: EdgeStream,
     num_nodes: int | None = None,
@@ -135,6 +158,8 @@ def build_temporal_csr(
     with_tia: bool = False,
     feat_prefix_of: Optional[np.ndarray] = None,
     feat_entry_of: Optional[tuple[np.ndarray, np.ndarray]] = None,
+    feat_entry_pad: int = FEAT_ENTRY_PAD,
+    feat_entry_layout: str = "packed",
 ) -> TemporalCSR:
     """Host-side CSR construction from a chronological edge stream.
 
@@ -202,13 +227,37 @@ def build_temporal_csr(
         # lane dim padded to the 128 tiling so the fused window-attention
         # kernel can DMA (8,128)-aligned slices of this table
         width = -(-(dn + de) // 128) * 128
-        feat_entry = np.zeros(
-            (FEAT_ENTRY_PAD + m + FEAT_ENTRY_PAD, width), np.float32
+        # the guard pad must cover the largest window a consumer fetches
+        # (DyGFormer maxlen can reach 2048, best_configs CanParl); the
+        # actual pad is recoverable from shapes as
+        # (feat_entry.shape[0] - num_entries) // 2, which is what
+        # fetch_entry_windows uses — no extra field needed
+        pad = max(int(feat_entry_pad), FEAT_ENTRY_PAD)
+        # layout: [guard(pad) | entries(m) | guard(pad) | node_rows(N)].
+        # The trailing per-NODE block holds [node_feat[i] || 0] rows so a
+        # full-sequence consumer (DyGFormer) fetches target row 0 AND the
+        # neighbor window in ONE gather — invalid window positions are
+        # index-redirected to guard row 0 (zeros), so no output-tensor
+        # masking pass is ever needed. pad stays recoverable from shapes:
+        # (rows - m - num_nodes) // 2.
+        # num_nodes rounded up to 8 (+8 slack) keeps every 8-row-granular
+        # access of the trailing node block inside the table
+        n_rows = -(-num_nodes // 8) * 8 + 8
+        feat_entry = np.zeros((pad + m + pad + n_rows, width), np.float32)
+        feat_entry[pad : pad + m, :dn] = node_f[peer]
+        feat_entry[pad : pad + m, dn : dn + de] = edge_f[eid]
+        feat_entry[2 * pad + m : 2 * pad + m + num_nodes, :dn] = (
+            node_f[:num_nodes]
         )
-        feat_entry[FEAT_ENTRY_PAD : FEAT_ENTRY_PAD + m, :dn] = node_f[peer]
-        feat_entry[FEAT_ENTRY_PAD : FEAT_ENTRY_PAD + m, dn : dn + de] = (
-            edge_f[eid]
+
+    feat_entry_slabs = None
+    if feat_entry is not None and feat_entry_layout == "slabs":
+        # 128-lane slab layout for the window-DMA fetch kernel (see the
+        # TemporalCSR.feat_entry_slabs comment); replaces the packed table
+        feat_entry_slabs = np.ascontiguousarray(
+            feat_entry.reshape(feat_entry.shape[0], -1, 128).transpose(1, 0, 2)
         )
+        feat_entry = None
 
     pack = np.stack(
         [
@@ -232,11 +281,14 @@ def build_temporal_csr(
         pack=jnp.asarray(pack),
         seg_steps=jnp.zeros((_segment_steps(offsets),), jnp.int8),
         feat_entry=None if feat_entry is None else jnp.asarray(feat_entry),
+        feat_entry_slabs=None
+        if feat_entry_slabs is None
+        else jnp.asarray(feat_entry_slabs),
         feat_entry_ndim=None
-        if feat_entry is None
+        if feat_entry_of is None
         else jnp.zeros((feat_entry_of[0].shape[1],), jnp.int8),
         feat_entry_edim=None
-        if feat_entry is None
+        if feat_entry_of is None
         else jnp.zeros((feat_entry_of[1].shape[1],), jnp.int8),
     )
 

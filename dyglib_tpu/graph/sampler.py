@@ -325,10 +325,13 @@ def fetch_entry_windows(
     but predictable, and consecutive rows of one window coalesce.
     """
     assert csr.feat_entry is not None, "CSR built without feat_entry"
-    assert k <= FEAT_ENTRY_PAD, f"window k={k} exceeds FEAT_ENTRY_PAD"
+    from .csr import feat_entry_guard_pad
+
     table = csr.feat_entry
+    pad = feat_entry_guard_pad(csr)
+    assert k <= pad, f"window k={k} exceeds feat_entry guard pad {pad}"
     d = table.shape[1]
-    flat = start.reshape(-1).astype(jnp.int32) + FEAT_ENTRY_PAD
+    flat = start.reshape(-1).astype(jnp.int32) + pad
     idx = flat[:, None] + jnp.arange(k, dtype=jnp.int32)
     win = table[idx]  # (Q, k, D) row gather
     return win.reshape(start.shape + (k, d))

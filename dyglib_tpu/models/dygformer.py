@@ -63,6 +63,14 @@ class DyGFormerInputs(NamedTuple):
     seq_eids: jnp.ndarray  # (4B, Lp)
     seq_ts: jnp.ndarray  # (4B, Lp) int32
     query_ts: jnp.ndarray  # (4B,) int32
+    # optional prefetched [node_feat || edge_feat] rows for the FULL
+    # sequence (target row 0 included), (4B, Lp, >=Dn+De) f32, pads zeroed
+    # via index redirection to a guard row. Built by DyGFormer.sample from
+    # csr.feat_entry in ONE row gather — half the latency-bound row count
+    # of the two per-table gathers it replaces (row gathers cost ~7 ns/row
+    # regardless of width — BASELINE.md round 1) and no masking/concat
+    # passes. None falls back to per-table gathers.
+    seq_feat: jnp.ndarray | None = None
 
 
 class PreLNTransformerEncoder(nn.Module):
@@ -267,10 +275,25 @@ class DyGFormerNet(nn.Module):
         # and kept in PAIR space (2B) — co-occurrence is the one channel
         # that differs per partner
         ids_l, ids_r = inputs.seq_ids[li], inputs.seq_ids[ri]  # (2B, Lp)
-        eq_ll = (ids_l[:, :, None] == ids_l[:, None, :]).astype(jnp.float32)
+        if triple:
+            # ids_l's two halves are the SAME src rows: compute the src
+            # self-counts ONCE over B rows and reuse for both pairs —
+            # drops 1 of the ~8 (2B, Lp, Lp) VPU compare/sum passes the
+            # co-occurrence stage costs (6.0 ms of the 46 ms CanParl
+            # step, BASELINE.md round 4)
+            ids_s = inputs.seq_ids[:b]
+            eq_ss = (ids_s[:, :, None] == ids_s[:, None, :]).astype(
+                jnp.float32
+            )
+            cnt_ll = jnp.tile(eq_ss.sum(-1), (2, 1))  # (2B, Lp)
+        else:
+            eq_ll = (ids_l[:, :, None] == ids_l[:, None, :]).astype(
+                jnp.float32
+            )
+            cnt_ll = eq_ll.sum(-1)
         eq_lr = (ids_l[:, :, None] == ids_r[:, None, :]).astype(jnp.float32)
         eq_rr = (ids_r[:, :, None] == ids_r[:, None, :]).astype(jnp.float32)
-        cnt_l = jnp.stack([eq_ll.sum(-1), eq_lr.sum(-1)], axis=-1)  # (2B,Lp,2)
+        cnt_l = jnp.stack([cnt_ll, eq_lr.sum(-1)], axis=-1)  # (2B,Lp,2)
         cnt_r = jnp.stack(
             [eq_lr.transpose(0, 2, 1).sum(-1), eq_rr.sum(-1)], axis=-1
         )
@@ -284,8 +307,10 @@ class DyGFormerNet(nn.Module):
         co_l, co_r = co(cnt_l), co(cnt_r)  # (2B, Lp, ced)
 
         # ---- raw features (per ROW — M rows, shared across pairs)
-        node_feat = tables.node[inputs.seq_ids]  # (M, Lp, Dn)
-        edge_feat = tables.edge[inputs.seq_eids]
+        node_feat = edge_feat = None
+        if inputs.seq_feat is None:
+            node_feat = tables.node[inputs.seq_ids]  # (M, Lp, Dn)
+            edge_feat = tables.edge[inputs.seq_eids]
         time_enc = TimeEncoder(self.time_feat_dim, name="time_encoder")
         dt = (inputs.query_ts[:, None] - inputs.seq_ts).astype(jnp.float32)
 
@@ -334,11 +359,51 @@ class DyGFormerNet(nn.Module):
         else:
             time_feat = jnp.where(valid[..., None], time_enc(dt), 0.0)
             time_ch = chan_mod("proj_time")(cast(time_feat))
-        row_ch = [
-            frozen_chan("proj_node", node_feat),
-            frozen_chan("proj_edge", edge_feat),
-            time_ch,
-        ]  # each (M, P, ced)
+        if inputs.seq_feat is not None:
+            # PACKED projection of the prefetched [node || edge] rows: one
+            # patch flatten of the packed (M, Lp, W) tensor and ONE matmul
+            # against zero-scattered packed weights computes both frozen
+            # channels. Lane-slicing the packed tensor into separate
+            # node/edge views first measured 5.5 ms/step of pure [slice]
+            # at CanParl (round-5 trace) — the slices materialize; padding
+            # the WEIGHT rows instead moves the cost into the matmul's K
+            # dim (24576 vs 11008: +0.5 ms of bf16 FLOPs) and deletes the
+            # slices and one of the two flattens.
+            dn, de = tables.node.shape[1], tables.edge.shape[1]
+            w_full = inputs.seq_feat.shape[-1]
+            ps = self.patch_size
+            wn, bn = RawLinearParams(ps * dn, ced, name="proj_node")()
+            we, be = RawLinearParams(ps * de, ced, name="proj_edge")()
+            # bf16 operands are math-IDENTICAL to the f32 formulation here:
+            # XLA executes f32 matmuls as single-pass bf16 with f32
+            # accumulation anyway (BASELINE.md round-1 roofline note), so
+            # casting at the flatten only halves the flattened tensor's
+            # HBM bytes, it does not change the MXU inputs
+            mm_dtype = (
+                jnp.bfloat16 if jnp.dtype(self.dtype) == jnp.float32
+                else self.dtype
+            )
+            wboth = (
+                jnp.zeros((ps, w_full, 2 * ced), mm_dtype)
+                .at[:, :dn, :ced].set(
+                    wn.astype(mm_dtype).reshape(ps, dn, ced)
+                )
+                .at[:, dn : dn + de, ced:].set(
+                    we.astype(mm_dtype).reshape(ps, de, ced)
+                )
+                .reshape(ps * w_full, 2 * ced)
+            )
+            flat = inputs.seq_feat.astype(mm_dtype).reshape(m, p, ps * w_full)
+            both = jnp.einsum(
+                "mpk,kc->mpc", flat, wboth,
+                preferred_element_type=jnp.float32,
+            )
+            node_ch = both[..., :ced] + bn
+            edge_ch = both[..., ced:] + be
+        else:
+            node_ch = frozen_chan("proj_node", node_feat)
+            edge_ch = frozen_chan("proj_edge", edge_feat)
+        row_ch = [node_ch, edge_ch, time_ch]  # each (M, P, ced)
         co_mod = chan_mod("proj_co_occurrence")
         co_pl = co_mod(cast(co_l))  # (2B, P, ced)
         co_pr = co_mod(cast(co_r))
@@ -422,6 +487,25 @@ class DyGFormer:
     # "auto" resolves OFF: measured 59.5+ vs 39.5 ms/step at CanParl
     # (see the kernel's MEASURED VERDICT); kept as a parity-tested variant
     use_patch_kernel: bool | str = "auto"
+    # prefetch neighbor features as contiguous csr.feat_entry windows —
+    # NEGATIVE VERDICT (round 5), "auto" resolves OFF. Three formulations
+    # measured at CanParl (2048/64, B=200, same-session interleaved;
+    # baseline gather path 38.2-38.9 ms/step):
+    #   * wide-row gather over the packed entry table: 60 ms (384-lane
+    #     rows gather ~3x slower per row than 172-lane — the r1
+    #     "width-independent" finding breaks beyond 2 lane tiles);
+    #   * masked+concat single-gather draft: 56 ms (two extra full passes
+    #     over the 1.9 GB tensor);
+    #   * slab-layout DMA kernel (ops/pallas/window_fetch.py), double-
+    #     buffered + packed-weight projection: 40.2-40.6 ms. The kernel
+    #     itself beats the gather it replaces (6.5 vs 10.3 ms in-trace)
+    #     but the surplus leaks into scan-schedule bubbles ('while'
+    #     self-time 1.6 -> 4.5 ms) and the packed tensor's extra flatten
+    #     bytes — the fetch is no longer the binding constraint once it
+    #     is under ~7 ms.
+    # True/"gather" remain available for measurement; parity is bitwise
+    # (tests/test_window_fetch.py).
+    use_entry_fetch: bool | str = "auto"
     # tanh-approximate GELU in the local transformer FFN (see
     # PreLNTransformerEncoder.gelu_approximate): "auto" resolves ON on the
     # TPU backend (measured 2.1x on the FFN fwd+bwd; <=3e-3 activation
@@ -432,6 +516,24 @@ class DyGFormer:
     @property
     def seq_len(self) -> int:
         return _round_up(self.max_input_sequence_length, self.patch_size)
+
+    @property
+    def wants_entry_features(self) -> bool:
+        """Ask the trainer to build csr.feat_entry (see use_entry_fetch)."""
+        if self.use_entry_fetch == "auto":
+            return False  # measured negative at every operating point
+        return bool(self.use_entry_fetch)
+
+    @property
+    def entry_window_rows(self) -> int:
+        """Guard-pad rows the entry table needs for this model's windows."""
+        return self.seq_len
+
+    @property
+    def entry_feature_layout(self) -> str:
+        """"slabs" for the window-DMA kernel; "packed" only for the
+        negative-verdict gather formulation (kept for measurement)."""
+        return "packed" if self.use_entry_fetch == "gather" else "slabs"
 
     @property
     def bucket_candidates(self) -> tuple[int, ...]:
@@ -535,6 +637,58 @@ class DyGFormer:
             eid = jnp.where(valid, csr.eid[safe], 0)
             tsn = jnp.where(valid, csr.ts[safe], 0)
 
+        seq_feat = None
+        if self.wants_entry_features and (
+            csr.feat_entry is not None or csr.feat_entry_slabs is not None
+        ):
+            from ..graph.csr import feat_entry_guard_pad
+
+            fe_pad = feat_entry_guard_pad(csr)
+            assert k <= fe_pad, (
+                f"window k={k} exceeds feat_entry guard pad {fe_pad}"
+            )
+            node_base = 2 * fe_pad + csr.num_entries
+            if self.use_entry_fetch == "gather":
+                table = csr.feat_entry
+                # NEGATIVE VERDICT, kept for measurement (round 5): one
+                # row gather for the whole tensor — position 0 reads the
+                # per-node block, invalid positions index-redirect to
+                # guard row 0. MEASURED 60 vs 38.4 ms/step at CanParl:
+                # 384-lane row gathers cost ~3x the 172-lane rate, so
+                # halving the row count still loses (the r1
+                # "width-independent" gather finding breaks at 3 tiles).
+                idx_tgt = node_base + ids[:, None]
+                idx_nbr = jnp.where(valid, idx + fe_pad, 0)
+                full_idx = jnp.concatenate([idx_tgt, idx_nbr], axis=1)
+                if total - 1 - k > 0:
+                    zpad = jnp.zeros(
+                        (full_idx.shape[0], total - 1 - k), jnp.int32
+                    )
+                    full_idx = jnp.concatenate([full_idx, zpad], axis=1)
+                seq_feat = table[full_idx]  # (M, Lp, width)
+            else:
+                # DMA block-copy kernel: ~M*S*(Lp/tile) block DMAs instead
+                # of M*Lp latency-bound row gathers (the windows are
+                # contiguous entry-table ranges; slab layout — see
+                # ops/pallas/window_fetch.py)
+                from ..ops.pallas.window_fetch import fetch_sequence_features
+
+                # interpret off-TPU — including under init_params'
+                # `with jax.default_device(cpu)` scope, where the global
+                # default_backend() still says "tpu" but lowering is CPU
+                dd = jax.config.jax_default_device
+                platform = (
+                    dd.platform if dd is not None else jax.default_backend()
+                )
+                seq_feat = fetch_sequence_features(
+                    csr.feat_entry_slabs,
+                    node_base + ids,
+                    start + fe_pad,
+                    hi - start,
+                    total,
+                    interpret=platform != "tpu",
+                )
+
         pad_cols = total - 1 - k
         if pad_cols > 0:
             z = jnp.zeros(nbr.shape[:1] + (pad_cols,), nbr.dtype)
@@ -547,6 +701,7 @@ class DyGFormer:
             seq_eids=jnp.concatenate([zeros, eid], axis=1),
             seq_ts=jnp.concatenate([ts[:, None], tsn], axis=1),
             query_ts=ts,
+            seq_feat=seq_feat,
         )
 
     def init(self, key: jax.Array, tables: FeatureTables, csr: TemporalCSR):

@@ -283,18 +283,22 @@ class TGAT:
             # the attention kernel fetches the layer-1 kv windows itself:
             # clamp guard-offset starts once here; materialize features
             # only for hops 1..L-1 (q/base/merge inputs of upper layers)
-            from ..graph.csr import FEAT_ENTRY_PAD
+            # guard pad is recoverable from the table shape (the builder
+            # may widen it past the 512 default for long-window consumers;
+            # layout [guard | entries | guard | node_rows])
+            from ..graph.csr import feat_entry_guard_pad
 
-            # the +FEAT_ENTRY_PAD guard-offset clamp below assumes windows
-            # of K rows fit inside the pad region; for num_layers == 1
+            fe_pad = feat_entry_guard_pad(csr)
+            # the +fe_pad guard-offset clamp below assumes windows of K
+            # rows fit inside the pad region; for num_layers == 1
             # fetch_entry_windows (which asserts this) never runs, so
             # assert here before a larger K silently shifts windows
-            assert k <= FEAT_ENTRY_PAD, (
-                f"num_neighbors={k} exceeds FEAT_ENTRY_PAD={FEAT_ENTRY_PAD}"
+            assert k <= fe_pad, (
+                f"num_neighbors={k} exceeds feat_entry guard pad {fe_pad}"
             )
             t_max = csr.feat_entry.shape[0] - k
             hop_win_start = tuple(
-                jnp.clip(w + FEAT_ENTRY_PAD, 0, t_max).astype(jnp.int32)
+                jnp.clip(w + fe_pad, 0, t_max).astype(jnp.int32)
                 for w in wins
             )
             feat_table = csr.feat_entry

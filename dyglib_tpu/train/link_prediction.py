@@ -174,6 +174,7 @@ class LinkPredictionTrainer:
         # (csr.feat_entry): only useful for the 'recent' strategy and only
         # affordable under a byte budget — (Dn+De)*4 B per CSR entry
         fex = None
+        fe_pad = 512
         if (
             getattr(backbone, "wants_entry_features", False)
             and getattr(backbone, "sample_strategy", "recent") == "recent"
@@ -185,15 +186,23 @@ class LinkPredictionTrainer:
             )
             if entry_bytes <= 2_000_000_000:
                 fex = (data.node_raw_features, data.edge_raw_features)
+                # guard rows must cover the largest window the backbone
+                # fetches (DyGFormer maxlen reaches 2048 at CanParl)
+                fe_pad = max(
+                    fe_pad, int(getattr(backbone, "entry_window_rows", 0))
+                )
+        fe_layout = getattr(backbone, "entry_feature_layout", "packed")
         self.train_csr = build_temporal_csr(
             data.train, num_nodes=data.num_nodes,
             time_scaling_factor=cfg.time_scaling_factor, with_tia=with_tia,
-            feat_prefix_of=fpx, feat_entry_of=fex,
+            feat_prefix_of=fpx, feat_entry_of=fex, feat_entry_pad=fe_pad,
+            feat_entry_layout=fe_layout,
         )
         self.full_csr = build_temporal_csr(
             data.full, num_nodes=data.num_nodes,
             time_scaling_factor=cfg.time_scaling_factor, with_tia=with_tia,
-            feat_prefix_of=fpx, feat_entry_of=fex,
+            feat_prefix_of=fpx, feat_entry_of=fex, feat_entry_pad=fe_pad,
+            feat_entry_layout=fe_layout,
         )
         # pre-placement CSR reference for init_params: under multi-host the
         # mesh-placed CSR is a global (non-addressable) array that cannot be

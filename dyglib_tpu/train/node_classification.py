@@ -292,8 +292,8 @@ class NodeClassificationTrainer:
         )
         log(
             f"model name: {type(self.backbone).__name__}+MLPClassifier, "
-            f"#parameters: {n_params * 4} B, {n_params * 4 / 1024} KB, "
-            f"{n_params * 4 / 1024 / 1024} MB."
+            f"#parameters: {n_params * 4} B, {n_params * 4 / 1024:.4f} KB, "
+            f"{n_params * 4 / 1024 / 1024:.4f} MB."
         )
         root_key = jax.random.PRNGKey(seed)
         early = EarlyStopping(self.cfg.patience, self.save_path)

@@ -85,12 +85,18 @@ def main():
 
 
 def _parse_dir(logdir, top_n, n_scan=32):
+    """TRACE_TOOL=hlo_stats gives INSTRUCTION-level rows (full fusion
+    names with producers/consumers) instead of the default aggregated
+    framework_op_stats; TRACE_FILTER=layout keeps only data-movement ops
+    (reshape/transpose/copy/convert/slice/concatenate) — the VERDICT r4
+    #6 "name the flagship's layout 1.2 ms" instrument."""
     xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                         recursive=True)
     assert xplanes, f"no xplane under {logdir}"
     from xprof.convert import raw_to_tool_data as rtd
 
-    data, _ = rtd.xspace_to_tool_data([xplanes[0]], "framework_op_stats", {})
+    tool = os.environ.get("TRACE_TOOL", "framework_op_stats")
+    data, _ = rtd.xspace_to_tool_data([xplanes[0]], tool, {})
     import gzip
     import json
 
@@ -121,17 +127,32 @@ def _dump_op_stats(rows, top_n, n_scan):
 
     key_time = find("Total self-time (us)", "total_self_time_us",
                     "Total self time (us)")
-    name_key = find("Operation Name", "Operation", "Op name")
+    name_key = find("Operation Name", "Operation", "Op name",
+                    "Framework op name")
     if key_time is None or name_key is None:
         print("columns:", cols)
         print(recs[:3])
         return
-    type_key = find("Operation Type", "Type", "Category")
+    type_key = find("Operation Type", "Type", "Category",
+                    "HLO op category")
     host_key = find("Host/device", "Host or device", "host_or_device")
+    bound_key = find("Bound by")
+    bw_key = find("Measured memory BW (GiB/s)")
+    shape_key = find("HLO op text")
     dev = [
         r for r in recs
         if host_key is None or "host" not in str(r.get(host_key, "")).lower()
     ]
+    if os.environ.get("TRACE_FILTER") == "layout":
+        layout_kinds = ("reshape", "transpose", "copy", "convert", "slice",
+                        "concatenate", "pad", "bitcast")
+        def is_layout(r):
+            t = str(r.get(type_key, "")).lower()
+            n = str(r.get(name_key, "")).lower()
+            return any(k in t for k in layout_kinds) or (
+                not t and any(k in n for k in layout_kinds)
+            )
+        dev = [r for r in dev if is_layout(r)]
     dev.sort(key=lambda r: -float(r[key_time]))
     tot = sum(float(r[key_time]) for r in dev)
     print(f"device total self-time: {tot/1e3:.2f} ms "
@@ -142,7 +163,13 @@ def _dump_op_stats(rows, top_n, n_scan):
         label = r[name_key]
         if type_key:
             label = f"[{r[type_key]}] {label}"
-        print(f"{t/n_scan:9.1f}  {100*t/tot:5.1f}  {label[:110]}")
+        extra = ""
+        if bound_key and r.get(bound_key):
+            extra = f"  [{r[bound_key]} @ {float(r.get(bw_key) or 0):.0f} GiB/s]"
+        print(f"{t/n_scan:9.1f}  {100*t/tot:5.1f}  {label[:100]}{extra}")
+        if shape_key and os.environ.get("TRACE_SHAPES") == "1":
+            txt = str(r.get(shape_key, ""))
+            print(f"{'':>18}{txt.split(' fusion(')[0][:140]}")
 
 
 if __name__ == "__main__":
