@@ -108,14 +108,53 @@ def main(which: str = "all"):
         "DyGFormer_CanParl": lambda: DyGFormer(
             max_input_sequence_length=2048, patch_size=64, num_layers=2
         ),
+        # saturated-batch memory-model rows (round 5, VERDICT r4 #5): at
+        # B=200 the memory models are latency-bound (JODIE 0.55 ms/step);
+        # the measured saturation sweep (scripts/memory_saturation_sweep.py)
+        # showed TGN/DyRep saturate by B=2000 and JODIE keeps scaling to
+        # B=20000 — these rows track the saturated single-chip throughput
+        "TGN_B2000": lambda: MemoryModel(
+            model_name="TGN", num_neighbors=10, num_layers=1,
+            time_shifts=shifts,
+        ),
+        "JODIE_B20000": lambda: MemoryModel(
+            model_name="JODIE", time_shifts=shifts
+        ),
     }
+    # per-row batch-size overrides (default B=200, the reference operating
+    # point); scan window shrinks so a window stays ~64*200 edges
+    ROW_BATCH = {"TGN_B2000": 2000, "JODIE_B20000": 20000}
     flagship = "DyGFormer"
     if which not in ("all", ""):
         by_lower = {k.lower(): k for k in backbones}
         flagship = by_lower[which.lower()]
         backbones = {flagship: backbones[flagship]}
 
-    def batch_at(s):
+    def make_window(b, n_scan):
+        def batch_at(s):
+            s = s % (train.num_interactions - b)
+            return (
+                jnp.asarray(train.src[s : s + b], jnp.int32),
+                jnp.asarray(train.dst[s : s + b], jnp.int32),
+                jnp.asarray(train.src[s : s + b], jnp.int32),
+                jnp.asarray(train.dst[::-1][s : s + b], jnp.int32),
+                jnp.asarray(keys_all[s : s + b], jnp.int32),
+                jnp.asarray(train.eid[s : s + b], jnp.int32),
+                jnp.ones((b,), jnp.float32),
+            )
+
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[batch_at(i * b) for i in range(n_scan)],
+        )
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.PRNGKey(0), i)
+        )(jnp.arange(n_scan))
+        return stacked, keys
+
+    stacked, scan_keys = make_window(B, N_SCAN)
+
+    def batch_at(s):  # used by --dispatch (flagship, global B)
         s = s % (train.num_interactions - B)
         return (
             jnp.asarray(train.src[s : s + B], jnp.int32),
@@ -127,13 +166,6 @@ def main(which: str = "all"):
             jnp.ones((B,), jnp.float32),
         )
 
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *[batch_at(i * B) for i in range(N_SCAN)]
-    )
-    scan_keys = jax.vmap(
-        lambda i: jax.random.fold_in(jax.random.PRNGKey(0), i)
-    )(jnp.arange(N_SCAN))
-
     # measured single-op bf16 matmul roofline on this chip: 115-155 TF/s
     # (BASELINE.md hlo_stats note); midpoint used as the MFU denominator so
     # per-model achieved-TF/s is comparable ACROSS models and rounds
@@ -143,14 +175,23 @@ def main(which: str = "all"):
     flagship_tflops = None
     for name, make in backbones.items():
         try:
+            row_b = ROW_BATCH.get(name, B)
+            n_scan = N_SCAN if row_b == B else max(4, N_SCAN * B // row_b)
+            row_stacked, row_keys = (
+                (stacked, scan_keys) if row_b == B
+                else make_window(row_b, n_scan)
+            )
             tr = LinkPredictionTrainer(
-                make(), data, TrainConfig(batch_size=B), os.path.join(tmp, "ck.pkl")
+                make(), data, TrainConfig(batch_size=row_b),
+                os.path.join(tmp, "ck.pkl"),
             )
             out = tr.init_params(0) + (tr.init_state(),)
             # TWO warmups: the first compiles; the second can recompile once
             # because donated outputs come back with the executable's layouts
             for _ in range(2):
-                res = tr.train_epoch_scan_fn(*out, tr.train_csr, stacked, scan_keys)
+                res = tr.train_epoch_scan_fn(
+                    *out, tr.train_csr, row_stacked, row_keys
+                )
                 jax.block_until_ready(res[3])
                 out = res[:3]
             # THREE timed windows: median is the reported number, the
@@ -161,11 +202,11 @@ def main(which: str = "all"):
                 nonlocal out
                 t0 = time.time()
                 res = tr.train_epoch_scan_fn(
-                    *out, tr.train_csr, stacked, scan_keys
+                    *out, tr.train_csr, row_stacked, row_keys
                 )
                 jax.block_until_ready(res[3])
                 out = res[:3]
-                return (time.time() - t0) / N_SCAN
+                return (time.time() - t0) / n_scan
 
             window_dts = [timed_window() for _ in range(3)]
             raw_windows = list(window_dts)
@@ -188,18 +229,19 @@ def main(which: str = "all"):
             spread_pct = 100.0 * spread(window_dts)
             results[name] = {
                 "ms_per_step": round(dt * 1e3, 2),
-                "edges_per_s": round(B / dt, 1),
+                "edges_per_s": round(row_b / dt, 1),
+                "batch_size": row_b,
                 "window_spread_pct": round(spread_pct, 1),
                 "windows_ms_raw": [round(w * 1e3, 3) for w in raw_windows],
                 "outlier_reruns": reruns,
             }
             try:  # achieved FLOP/s from XLA cost analysis, per model
                 cost = tr.train_epoch_scan_jit.lower(
-                    *out, tr.train_csr, tr.tables, stacked, scan_keys
+                    *out, tr.train_csr, tr.tables, row_stacked, row_keys
                 ).compile().cost_analysis()
                 if isinstance(cost, list):
                     cost = cost[0]
-                tflops = float(cost["flops"]) / (dt * N_SCAN) / 1e12
+                tflops = float(cost["flops"]) / (dt * n_scan) / 1e12
                 results[name]["tflops"] = round(tflops, 3)
                 results[name]["mfu_pct"] = round(
                     100.0 * tflops / MATMUL_ROOFLINE_TFS, 2
@@ -209,7 +251,7 @@ def main(which: str = "all"):
             except Exception as e:  # cost analysis is best-effort
                 print(f"{name} cost_analysis failed: {e}", file=sys.stderr)
             print(
-                f"{name:>10}: {dt*1e3:7.2f} ms/step | {B/dt:8.0f} edges/s | "
+                f"{name:>10}: {dt*1e3:7.2f} ms/step | {row_b/dt:8.0f} edges/s | "
                 f"{results[name].get('tflops', float('nan')):6.2f} TF/s "
                 f"({results[name].get('mfu_pct', float('nan')):.1f}% of "
                 f"matmul roofline)",
@@ -249,8 +291,10 @@ def main(which: str = "all"):
         # Round-over-round comparisons are valid ONLY within this schema
         # (the r1 headline used a different window; see BASELINE.md).
         # r5 adds per-model raw window times + the bounded outlier-rerun
-        # rule (spread > 30% -> re-time the slowest window, <= 2x); the
-        # timing discipline itself is unchanged, so r4/r5 rows compare.
+        # rule (spread > 30% -> re-time the slowest window, <= 2x), and
+        # two saturated-batch memory-model rows (TGN_B2000, JODIE_B20000,
+        # each tagged with its batch_size); the timing discipline itself
+        # is unchanged, so r4/r5 B=200 rows compare.
         "schema": "r5",
         "metric": (
             f"{flagship} train-step throughput (B={B}, Wikipedia-scale, "
