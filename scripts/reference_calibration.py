@@ -38,6 +38,9 @@ ROOT = "/tmp/refcal6k"
 EPOCHS = int(os.environ.get("CAL_EPOCHS", "8"))
 NUM_SEEDS = int(os.environ.get("CAL_SEEDS", "2"))
 B, LR = 200, 1e-3
+# CAL_DROPOUT: override both sides' dropout (diagnostic — with 0.0 the
+# only cross-side training difference left is the init draw stream)
+DROPOUT = float(os.environ.get("CAL_DROPOUT", "0.1"))
 
 
 class ReplayNegs:
@@ -124,7 +127,8 @@ def run_reference(name, d, seed=0, return_model=False):
     nf = d.node_raw_features.astype(np.float32)
     ef = d.edge_raw_features.astype(np.float32)
     common = dict(node_raw_features=nf, edge_raw_features=ef,
-                  neighbor_sampler=train_sampler, time_feat_dim=100, dropout=0.1)
+                  neighbor_sampler=train_sampler, time_feat_dim=100,
+                  dropout=DROPOUT)
     if name in ("JODIE", "DyRep", "TGN"):
         sm, ss, dm, ds_ = compute_src_dst_node_time_shifts(
             train_data.src_node_ids, train_data.dst_node_ids,
@@ -273,7 +277,8 @@ def run_ours(name, d, seed=0, return_model=False):
     if name in ("JODIE", "DyRep", "TGN"):
         shifts = compute_src_dst_node_time_shifts(d.train.src, d.train.dst, d.train.ts)
         bk = MemoryModel(model_name=name, num_neighbors=cfg["num_neighbors"],
-                         num_layers=cfg["num_layers"], time_shifts=shifts)
+                         num_layers=cfg["num_layers"], time_shifts=shifts,
+                         dropout=DROPOUT)
     elif name == "TGAT":
         bk = TGAT(num_neighbors=cfg["num_neighbors"], num_layers=cfg["num_layers"])
     elif name == "TCL":
