@@ -80,6 +80,14 @@ VARIANTS = {
     "dyg_canparl_notk": lambda: DyGFormer(max_input_sequence_length=2048,
                                           patch_size=64, num_layers=2,
                                           use_time_kernel=False),
+    # round-5 window-fetch experiments (BASELINE.md "Round 5: contiguous
+    # window-fetch at CanParl") — both NEGATIVE verdicts, reproducible here
+    "dyg_canparl_fetch": lambda: DyGFormer(max_input_sequence_length=2048,
+                                           patch_size=64, num_layers=2,
+                                           use_entry_fetch=True),
+    "dyg_canparl_fetch_gather": lambda: DyGFormer(
+        max_input_sequence_length=2048, patch_size=64, num_layers=2,
+        use_entry_fetch="gather"),
     "dyg_full_tk": lambda: DyGFormer(max_input_sequence_length=32,
                                      patch_size=1, num_layers=2,
                                      use_time_kernel=True),
