@@ -71,9 +71,12 @@ class TemporalCSR(NamedTuple):
     # a 25k-lane scalar gather on the sampling hot path, so the bound cut
     # CAWN's tia inverse-CDF search ~2x (scripts/trace_ops.py).
     seg_steps: Optional[jnp.ndarray] = None  # (steps,) int8 placeholder
-    # (FEAT_ENTRY_PAD + M + FEAT_ENTRY_PAD, Dn + De) f32 — per-ENTRY packed
-    # [node_feat[nbr[i]] || edge_feat[eid[i]]] rows in flat CSR order, with
-    # FEAT_ENTRY_PAD zero guard rows on each side. The 'recent' strategy's
+    # (pad + M + pad + node_rows, width) f32 — per-ENTRY packed
+    # [node_feat[nbr[i]] || edge_feat[eid[i]]] rows in flat CSR order,
+    # with >= FEAT_ENTRY_PAD zero guard rows on each side (recover the
+    # pad with feat_entry_guard_pad) and a trailing per-NODE
+    # [node_feat[i] || 0] block for full-sequence consumers
+    # (round 5; see build_temporal_csr). The 'recent' strategy's
     # sampled windows are CONTIGUOUS flat ranges [hi-k, hi), so with this
     # table the per-hop feature fetch is Q slice-gathers of (k, D)
     # contiguous rows instead of Q*k independent row gathers — row gathers
